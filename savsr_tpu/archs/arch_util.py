@@ -1,0 +1,396 @@
+"""Functional NN building blocks over flat parameter dicts (NHWC, JAX).
+
+Design: a network is a pytree ``params: dict[str, jnp.ndarray]`` whose keys
+mirror the reference torch ``state_dict`` naming (e.g.
+``f2p_win.conv_c.weight``) so that checkpoint import is a pure layout
+transpose (savsr_tpu/utils/convert.py). Conv weights are stored HWIO,
+linear weights [in, out]. All functions are pure; BatchNorm returns batch
+statistics updates through the ``Ctx`` accumulator.
+
+This module plays the role of lbasicsr/archs/arch_util.py for the rebuild
+(init helpers, flow_warp, pixel shuffle, make_coord) in TPU-native form.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import Dict, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+Params = Dict[str, jnp.ndarray]
+
+
+@dataclass
+class Ctx:
+    """Forward-pass context: parameters, train flag, BN-stat updates.
+
+    ``stats_updates`` accumulates new running means/vars during a training
+    forward; the caller merges them back into the parameter dict.
+    """
+
+    params: Params
+    train: bool = False
+    stats_updates: Dict[str, jnp.ndarray] = field(default_factory=dict)
+
+    def __getitem__(self, key: str) -> jnp.ndarray:
+        return self.params[key]
+
+    def has(self, key: str) -> bool:
+        return key in self.params
+
+
+# ---------------------------------------------------------------------------
+# initializers (torch-compatible fan conventions)
+# ---------------------------------------------------------------------------
+
+
+def _fan_in_out(shape_hwio: Tuple[int, ...]) -> Tuple[int, int]:
+    if len(shape_hwio) == 4:
+        kh, kw, cin, cout = shape_hwio
+        rf = kh * kw
+        return cin * rf, cout * rf
+    cin, cout = shape_hwio
+    return cin, cout
+
+
+def kaiming_uniform(key, shape_hwio, a: float = math.sqrt(5.0), mode: str = "fan_in"):
+    """torch nn.init.kaiming_uniform_ (the default conv/linear init)."""
+    fan_in, fan_out = _fan_in_out(shape_hwio)
+    fan = fan_in if mode == "fan_in" else fan_out
+    gain = math.sqrt(2.0 / (1.0 + a * a))
+    bound = gain * math.sqrt(3.0 / fan)
+    return jax.random.uniform(key, shape_hwio, jnp.float32, -bound, bound)
+
+
+def kaiming_normal(key, shape_hwio, mode: str = "fan_out", nonlinearity: str = "relu"):
+    fan_in, fan_out = _fan_in_out(shape_hwio)
+    fan = fan_in if mode == "fan_in" else fan_out
+    gain = math.sqrt(2.0) if nonlinearity == "relu" else 1.0
+    std = gain / math.sqrt(fan)
+    return jax.random.normal(key, shape_hwio, jnp.float32) * std
+
+
+def uniform_bias(key, fan_in: int, size: int):
+    bound = 1.0 / math.sqrt(fan_in) if fan_in > 0 else 0.0
+    return jax.random.uniform(key, (size,), jnp.float32, -bound, bound)
+
+
+class InitCtx:
+    """Parameter-dict builder with a splittable PRNG stream."""
+
+    def __init__(self, key):
+        self._key = key
+        self.params: Dict[str, jnp.ndarray] = {}
+
+    def next_key(self):
+        self._key, sub = jax.random.split(self._key)
+        return sub
+
+    def conv(self, name: str, kh: int, kw: int, cin: int, cout: int, bias: bool = True,
+             init: str = "default"):
+        shape = (kh, kw, cin, cout)
+        if init == "kaiming_normal_fan_out":
+            w = kaiming_normal(self.next_key(), shape)
+        else:
+            w = kaiming_uniform(self.next_key(), shape)
+        self.params[f"{name}.weight"] = w
+        if bias:
+            self.params[f"{name}.bias"] = uniform_bias(self.next_key(), cin * kh * kw, cout)
+
+    def linear(self, name: str, cin: int, cout: int, bias: bool = True):
+        self.params[f"{name}.weight"] = kaiming_uniform(self.next_key(), (cin, cout))
+        if bias:
+            self.params[f"{name}.bias"] = uniform_bias(self.next_key(), cin, cout)
+
+    def bn(self, name: str, c: int):
+        self.params[f"{name}.weight"] = jnp.ones((c,), jnp.float32)
+        self.params[f"{name}.bias"] = jnp.zeros((c,), jnp.float32)
+        self.params[f"{name}.running_mean"] = jnp.zeros((c,), jnp.float32)
+        self.params[f"{name}.running_var"] = jnp.ones((c,), jnp.float32)
+        self.params[f"{name}.num_batches_tracked"] = jnp.zeros((), jnp.int64)
+
+    def raw(self, name: str, value):
+        self.params[name] = value
+
+
+# ---------------------------------------------------------------------------
+# core ops
+# ---------------------------------------------------------------------------
+
+
+def conv2d(
+    ctx: Ctx,
+    name: str,
+    x: jnp.ndarray,
+    stride: int = 1,
+    padding: Union[int, str] = 0,
+    groups: int = 1,
+) -> jnp.ndarray:
+    """2-D convolution, NHWC x HWIO -> NHWC, torch-style integer padding."""
+    w = ctx[f"{name}.weight"]
+    if isinstance(padding, int):
+        pad = ((padding, padding), (padding, padding))
+    else:
+        pad = padding
+    y = lax.conv_general_dilated(
+        x,
+        w.astype(x.dtype),
+        window_strides=(stride, stride),
+        padding=pad,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=groups,
+    )
+    b = ctx.params.get(f"{name}.bias")
+    if b is not None:
+        y = y + b.astype(y.dtype)
+    return y
+
+
+def linear(ctx: Ctx, name: str, x: jnp.ndarray) -> jnp.ndarray:
+    w = ctx[f"{name}.weight"]
+    y = x @ w.astype(x.dtype)
+    b = ctx.params.get(f"{name}.bias")
+    if b is not None:
+        y = y + b.astype(y.dtype)
+    return y
+
+
+def batch_norm(
+    ctx: Ctx,
+    name: str,
+    x: jnp.ndarray,
+    eps: float = 1e-5,
+    momentum: float = 0.1,
+    axis: Tuple[int, ...] = (0, 1, 2),
+) -> jnp.ndarray:
+    """BatchNorm over ``axis`` (default NHW) with torch running-stat update.
+
+    In train mode batch statistics normalize and the running stats update is
+    recorded in ``ctx.stats_updates`` (per-device, unsynced — matching DDP's
+    default non-synced BatchNorm in the reference)."""
+    gamma = ctx[f"{name}.weight"]
+    beta = ctx[f"{name}.bias"]
+    if ctx.train:
+        mean = jnp.mean(x, axis=axis)
+        var = jnp.var(x, axis=axis)
+        # torch normalizes with biased variance but tracks unbiased
+        n = int(np.prod([x.shape[a] for a in axis]))
+        unbiased = var * (n / max(n - 1, 1))
+        ctx.stats_updates[f"{name}.running_mean"] = (
+            (1 - momentum) * ctx[f"{name}.running_mean"] + momentum * mean
+        )
+        ctx.stats_updates[f"{name}.running_var"] = (
+            (1 - momentum) * ctx[f"{name}.running_var"] + momentum * unbiased
+        )
+    else:
+        mean = ctx[f"{name}.running_mean"]
+        var = ctx[f"{name}.running_var"]
+    inv = lax.rsqrt(var.astype(x.dtype) + eps)
+    return (x - mean.astype(x.dtype)) * inv * gamma.astype(x.dtype) + beta.astype(x.dtype)
+
+
+def leaky_relu(x: jnp.ndarray, negative_slope: float = 0.2) -> jnp.ndarray:
+    return jnp.where(x >= 0, x, x * negative_slope)
+
+
+def sigmoid(x: jnp.ndarray) -> jnp.ndarray:
+    return jax.nn.sigmoid(x)
+
+
+def adaptive_avg_pool_11(x: jnp.ndarray) -> jnp.ndarray:
+    """Global average pool NHWC -> [B, C]."""
+    return jnp.mean(x, axis=(1, 2))
+
+
+def avg_pool2(x: jnp.ndarray) -> jnp.ndarray:
+    """2x2 average pooling, stride 2 (NHWC)."""
+    return lax.reduce_window(
+        x, 0.0, lax.add, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
+    ) * 0.25
+
+
+def reflect_pad_hw(x: jnp.ndarray, pad_h: Tuple[int, int], pad_w: Tuple[int, int]):
+    return jnp.pad(x, ((0, 0), pad_h, pad_w, (0, 0)), mode="reflect")
+
+
+def replicate_pad_hw(x: jnp.ndarray, pad: int):
+    return jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="edge")
+
+
+# ---------------------------------------------------------------------------
+# interpolation (torch F.interpolate semantics via dense-matrix matmuls)
+# ---------------------------------------------------------------------------
+
+
+def _bilinear_matrix(in_size: int, out_size: int, align_corners: bool) -> np.ndarray:
+    """[out,in] bilinear interpolation matrix, torch conventions, edge clamp."""
+    mat = np.zeros((out_size, in_size), dtype=np.float64)
+    if align_corners and out_size > 1:
+        scale = (in_size - 1) / (out_size - 1)
+    else:
+        scale = in_size / out_size
+    for i in range(out_size):
+        src = i * scale if align_corners else (i + 0.5) * scale - 0.5
+        src = min(max(src, 0.0), in_size - 1)
+        lo = int(math.floor(src))
+        hi = min(lo + 1, in_size - 1)
+        f = src - lo
+        mat[i, lo] += 1.0 - f
+        mat[i, hi] += f
+    return mat
+
+
+def interpolate_bilinear(
+    x: jnp.ndarray, size: Tuple[int, int], align_corners: bool = False
+) -> jnp.ndarray:
+    """NHWC bilinear resize matching ``F.interpolate(mode='bilinear')``."""
+    h, w = x.shape[1], x.shape[2]
+    H, W = size
+    mh = jnp.asarray(_bilinear_matrix(h, H, align_corners), dtype=x.dtype)
+    mw = jnp.asarray(_bilinear_matrix(w, W, align_corners), dtype=x.dtype)
+    y = jnp.einsum("Hh,bhwc->bHwc", mh, x, precision="highest")
+    y = jnp.einsum("Ww,bhwc->bhWc", mw, y, precision="highest")
+    return y
+
+
+def upsample_bilinear_2x(x: jnp.ndarray) -> jnp.ndarray:
+    """nn.Upsample(scale_factor=2, mode='bilinear', align_corners=False)."""
+    return interpolate_bilinear(x, (x.shape[1] * 2, x.shape[2] * 2), align_corners=False)
+
+
+# ---------------------------------------------------------------------------
+# sampling / warping
+# ---------------------------------------------------------------------------
+
+
+def grid_sample_bilinear(
+    x: jnp.ndarray, grid: jnp.ndarray, align_corners: bool = True, padding_zeros: bool = True
+) -> jnp.ndarray:
+    """``F.grid_sample(mode='bilinear')`` for NHWC input.
+
+    Args:
+        x: [B, h, w, C].
+        grid: [B, H, W, 2] normalized coords in [-1, 1], last dim (gx, gy).
+    Returns: [B, H, W, C].
+    """
+    b, h, w, c = x.shape
+    gx = grid[..., 0]
+    gy = grid[..., 1]
+    if align_corners:
+        fx = (gx + 1.0) * 0.5 * (w - 1)
+        fy = (gy + 1.0) * 0.5 * (h - 1)
+    else:
+        fx = ((gx + 1.0) * w - 1.0) * 0.5
+        fy = ((gy + 1.0) * h - 1.0) * 0.5
+
+    x0 = jnp.floor(fx)
+    y0 = jnp.floor(fy)
+    wx = fx - x0
+    wy = fy - y0
+
+    def gather(yi, xi):
+        valid = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
+        xc = jnp.clip(xi, 0, w - 1).astype(jnp.int32)
+        yc = jnp.clip(yi, 0, h - 1).astype(jnp.int32)
+        flat = x.reshape(b, h * w, c)
+        idx = yc * w + xc  # [B, H, W]
+        vals = jnp.take_along_axis(
+            flat, idx.reshape(b, -1, 1), axis=1
+        ).reshape(*idx.shape, c)
+        if padding_zeros:
+            vals = jnp.where(valid[..., None], vals, 0.0)
+        return vals
+
+    v00 = gather(y0, x0)
+    v01 = gather(y0, x0 + 1)
+    v10 = gather(y0 + 1, x0)
+    v11 = gather(y0 + 1, x0 + 1)
+    wx = wx[..., None]
+    wy = wy[..., None]
+    return (
+        v00 * (1 - wx) * (1 - wy)
+        + v01 * wx * (1 - wy)
+        + v10 * (1 - wx) * wy
+        + v11 * wx * wy
+    )
+
+
+def flow_warp(
+    x: jnp.ndarray,
+    flow: jnp.ndarray,
+    interp_mode: str = "bilinear",
+    padding_mode: str = "zeros",
+    align_corners: bool = True,
+) -> jnp.ndarray:
+    """Warp NHWC features by per-pixel flow [B, H, W, 2] (dx, dy), the VSR
+    alignment primitive (reference arch_util.py:162)."""
+    b, h, w, _ = x.shape
+    ys = jnp.arange(h, dtype=x.dtype)
+    xs = jnp.arange(w, dtype=x.dtype)
+    gy, gx = jnp.meshgrid(ys, xs, indexing="ij")
+    vx = gx[None] + flow[..., 0]
+    vy = gy[None] + flow[..., 1]
+    gxn = 2.0 * vx / max(w - 1, 1) - 1.0
+    gyn = 2.0 * vy / max(h - 1, 1) - 1.0
+    grid = jnp.stack([gxn, gyn], axis=-1)
+    return grid_sample_bilinear(
+        x, grid, align_corners=align_corners, padding_zeros=(padding_mode == "zeros")
+    )
+
+
+def resize_flow(flow: jnp.ndarray, size_type: str, sizes, interpolation="bilinear"):
+    """Resize a flow field [B, H, W, 2] and rescale its magnitudes."""
+    h, w = flow.shape[1], flow.shape[2]
+    if size_type == "ratio":
+        out_h, out_w = int(h * sizes[0]), int(w * sizes[1])
+    elif size_type == "shape":
+        out_h, out_w = sizes[0], sizes[1]
+    else:
+        raise ValueError(f"size_type must be ratio|shape, got {size_type}")
+    ratio_h, ratio_w = out_h / h, out_w / w
+    scaled = flow * jnp.asarray([ratio_w, ratio_h], dtype=flow.dtype)
+    return interpolate_bilinear(scaled, (out_h, out_w), align_corners=False)
+
+
+def pixel_shuffle(x: jnp.ndarray, upscale: int) -> jnp.ndarray:
+    """NHWC pixel shuffle (depth-to-space, torch channel ordering)."""
+    b, h, w, c = x.shape
+    r = upscale
+    x = x.reshape(b, h, w, c // (r * r), r, r)
+    x = x.transpose(0, 1, 4, 2, 5, 3)
+    return x.reshape(b, h * r, w * r, c // (r * r))
+
+
+def pixel_unshuffle(x: jnp.ndarray, downscale: int) -> jnp.ndarray:
+    """NHWC pixel unshuffle (space-to-depth, torch channel ordering)."""
+    b, h, w, c = x.shape
+    r = downscale
+    x = x.reshape(b, h // r, r, w // r, r, c)
+    x = x.transpose(0, 1, 3, 5, 2, 4)
+    return x.reshape(b, h // r, w // r, c * r * r)
+
+
+def make_coord(shape: Tuple[int, int], ranges=None, flatten: bool = True):
+    """Coordinates at pixel centers in [-1, 1] (LIIF convention,
+    reference arch_util.py:457-485)."""
+    coord_seqs = []
+    for i, n in enumerate(shape):
+        if ranges is None:
+            v0, v1 = -1.0, 1.0
+        else:
+            v0, v1 = ranges[i]
+        r = (v1 - v0) / (2 * n)
+        coord_seqs.append(v0 + r + (2 * r) * jnp.arange(n, dtype=jnp.float32))
+    grids = jnp.meshgrid(*coord_seqs, indexing="ij")
+    ret = jnp.stack(grids, axis=-1)
+    return ret.reshape(-1, ret.shape[-1]) if flatten else ret
+
+
+def trunc_normal_init(key, shape, mean=0.0, std=1.0, a=-2.0, b=2.0):
+    """Truncated normal init (reference arch_util.py:322)."""
+    return mean + std * jax.random.truncated_normal(key, a, b, shape, jnp.float32)

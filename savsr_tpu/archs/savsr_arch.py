@@ -1,0 +1,667 @@
+"""SAVSR: arbitrary-scale video super-resolution network, TPU-native.
+
+Functional JAX reimplementation of the reference architecture
+(lbasicsr/archs/savsr_arch.py:574-742), NHWC layout, flat parameter dicts
+whose keys mirror the torch state_dict (so savsr_tpu/utils/convert.py is a
+pure layout transpose). The scale ``(sh, sw)`` is a static Python tuple —
+the jit cache is keyed on (input shape, scale), mirroring the reference's
+``set_scale`` host-side conditioning.
+
+Structure (reference anchors):
+  ScaleAttention  — savsr_arch.py:16-96   (omni-dimensional attentions)
+  OSConv2d        — savsr_arch.py:99-183  (scale-conditioned dynamic conv)
+  OSAdapt         — savsr_arch.py:186-214 (masked scale-adaptive residual)
+  STAUpsample     — savsr_arch.py:217-376 (spatio-temporal arbitrary upsample)
+  ResidualBlock   — savsr_arch.py:379-415 (multi-frame residual block)
+  WindowUnit_l1/2 — savsr_arch.py:418-501 (sliding-window alignment/fusion)
+  RCAN trunk      — savsr_arch.py:504-571
+  SAVSR           — savsr_arch.py:574-742
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Dict, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.osconv import osconv_apply
+from ..utils.registry import ARCH_REGISTRY
+from .arch_util import (
+    Ctx,
+    InitCtx,
+    adaptive_avg_pool_11,
+    avg_pool2,
+    batch_norm,
+    conv2d,
+    grid_sample_bilinear,
+    interpolate_bilinear,
+    kaiming_normal,
+    leaky_relu,
+    linear,
+    replicate_pad_hw,
+    sigmoid,
+    upsample_bilinear_2x,
+)
+
+Params = Dict[str, jnp.ndarray]
+Scale = Tuple[float, float]
+
+
+def get_hw(h: int, w: int, scale: Scale) -> Tuple[int, int]:
+    """Output size = round(h*sh), round(w*sw) — python banker's rounding,
+    matching the reference's get_HW_round (savsr_arch.py:745)."""
+    return round(h * scale[0]), round(w * scale[1])
+
+
+def normalize_scale(scale) -> Scale:
+    if isinstance(scale, (tuple, list)):
+        return (float(scale[0]), float(scale[1]))
+    return (float(scale), float(scale))
+
+
+# ---------------------------------------------------------------------------
+# ScaleAttention
+# ---------------------------------------------------------------------------
+
+
+def _fc1x1(ctx: Ctx, name: str, x: jnp.ndarray) -> jnp.ndarray:
+    """1x1 conv on a [B, C] vector == matmul with the HWIO weight's core."""
+    w = ctx[f"{name}.weight"]  # [1,1,in,out]
+    y = x @ w[0, 0].astype(x.dtype)
+    b = ctx.params.get(f"{name}.bias")
+    if b is not None:
+        y = y + b.astype(y.dtype)
+    return y
+
+
+def scale_attention_init(
+    ic: InitCtx, prefix: str, in_planes: int, out_planes: int, kernel_size: int,
+    groups: int = 1, reduction: float = 0.0625, kernel_num: int = 4, min_channel: int = 16,
+) -> None:
+    att = max(int(in_planes * reduction), min_channel)
+    ic.conv(f"{prefix}fc", 1, 1, in_planes, att, bias=False, init="kaiming_normal_fan_out")
+    ic.bn(f"{prefix}bn", att)
+    ic.conv(f"{prefix}channel_fc", 1, 1, att, in_planes, init="kaiming_normal_fan_out")
+    if not (in_planes == groups and in_planes == out_planes):
+        ic.conv(f"{prefix}filter_fc", 1, 1, att, out_planes, init="kaiming_normal_fan_out")
+    if kernel_size != 1:
+        ic.conv(f"{prefix}spatial_fc", 1, 1, att, kernel_size * kernel_size,
+                init="kaiming_normal_fan_out")
+    if kernel_num != 1:
+        ic.conv(f"{prefix}kernel_fc", 1, 1, att, kernel_num, init="kaiming_normal_fan_out")
+    # biases zero-init per reference _initialize_weights (savsr_arch.py:52-60)
+    for head in ("channel_fc", "filter_fc", "spatial_fc", "kernel_fc"):
+        k = f"{prefix}{head}.bias"
+        if k in ic.params:
+            ic.params[k] = jnp.zeros_like(ic.params[k])
+
+
+def scale_attention_apply(
+    ctx: Ctx, prefix: str, scale_vector: jnp.ndarray, kernel_size: int,
+    temperature: float = 1.0,
+):
+    """scale_vector [B, in_planes] -> (ca [B,Cin], fa [B,Cout] | None,
+    sa [B,k,k] | None, ka [B,K] | None)."""
+    v = _fc1x1(ctx, f"{prefix}fc", scale_vector)
+    # BatchNorm over the batch axis of a [B, C] vector (H=W=1)
+    v = batch_norm(ctx, f"{prefix}bn", v, axis=(0,))
+    v = jax.nn.relu(v)
+
+    ca = sigmoid(_fc1x1(ctx, f"{prefix}channel_fc", v) / temperature)
+    fa = None
+    if ctx.has(f"{prefix}filter_fc.weight"):
+        fa = sigmoid(_fc1x1(ctx, f"{prefix}filter_fc", v) / temperature)
+    sa = None
+    if ctx.has(f"{prefix}spatial_fc.weight"):
+        sa = sigmoid(_fc1x1(ctx, f"{prefix}spatial_fc", v) / temperature)
+        sa = sa.reshape(sa.shape[0], kernel_size, kernel_size)
+    ka = None
+    if ctx.has(f"{prefix}kernel_fc.weight"):
+        ka = jax.nn.softmax(_fc1x1(ctx, f"{prefix}kernel_fc", v) / temperature, axis=1)
+    return ca, fa, sa, ka
+
+
+# ---------------------------------------------------------------------------
+# OSConv2d
+# ---------------------------------------------------------------------------
+
+
+def osconv_init(
+    ic: InitCtx, prefix: str, in_planes: int, out_planes: int, kernel_size: int,
+    reduction: float = 0.0625, kernel_num: int = 8,
+) -> None:
+    scale_attention_init(
+        ic, f"{prefix}attention.", in_planes, out_planes, kernel_size,
+        reduction=reduction, kernel_num=kernel_num,
+    )
+    # weight bank [K, kh, kw, I, O]; torch inits each kernel kaiming_normal
+    bank = jnp.stack(
+        [
+            kaiming_normal(ic.next_key(), (kernel_size, kernel_size, in_planes, out_planes))
+            for _ in range(kernel_num)
+        ]
+    )
+    ic.raw(f"{prefix}weight", bank)
+    ic.linear(f"{prefix}scale_routing.0", in_planes + 2, in_planes * 2)
+    ic.linear(f"{prefix}scale_routing.2", in_planes * 2, in_planes)
+
+
+def osconv_apply_module(
+    ctx: Ctx, prefix: str, x: jnp.ndarray, scale: Scale,
+    stride: int = 1, padding: int = 1, impl: str = "einsum",
+    temperature: float = 1.0,
+) -> jnp.ndarray:
+    """OSConv2d forward (reference _forward_impl_common, savsr_arch.py:139-172)."""
+    b = x.shape[0]
+    weight = ctx[f"{prefix}weight"]  # [K, kh, kw, I, O]
+    kernel_size = weight.shape[1]
+
+    scale_info = jnp.tile(
+        jnp.asarray([[1.0 / scale[0], 1.0 / scale[1]]], dtype=x.dtype), (b, 1)
+    )
+    gap = adaptive_avg_pool_11(x)  # [B, Cin]
+    r = jnp.concatenate([scale_info, gap], axis=1)
+    r = jax.nn.relu(linear(ctx, f"{prefix}scale_routing.0", r))
+    r = jax.nn.relu(linear(ctx, f"{prefix}scale_routing.2", r))
+
+    ca, fa, sa, ka = scale_attention_apply(
+        ctx, f"{prefix}attention.", r, kernel_size, temperature
+    )
+
+    x = x * ca[:, None, None, :]
+    # aggregate per-sample kernels: sum_K ka * (sa ⊙ W_K)
+    w = weight.astype(x.dtype)
+    if ka is not None:
+        agg = jnp.einsum("bK,Kklio->bklio", ka, w)
+    else:
+        agg = jnp.broadcast_to(w[0][None], (b, *w.shape[1:]))
+    if sa is not None:
+        agg = agg * sa[:, :, :, None, None]
+
+    y = osconv_apply(x, agg, stride=stride, padding=padding, impl=impl)
+    if fa is not None:
+        y = y * fa[:, None, None, :]
+    return y
+
+
+# ---------------------------------------------------------------------------
+# OSAdapt
+# ---------------------------------------------------------------------------
+
+
+def osadapt_init(ic: InitCtx, prefix: str, channels: int, ratio: int = 4) -> None:
+    c2 = channels // ratio
+    ic.conv(f"{prefix}mask.0", 3, 3, channels, c2)
+    ic.bn(f"{prefix}mask.1", c2)
+    ic.conv(f"{prefix}mask.4", 3, 3, c2, c2)
+    ic.bn(f"{prefix}mask.5", c2)
+    ic.conv(f"{prefix}mask.7", 3, 3, c2, c2)
+    ic.bn(f"{prefix}mask.8", c2)
+    ic.conv(f"{prefix}mask.11", 3, 3, c2, 1)
+    ic.bn(f"{prefix}mask.12", 1)
+    osconv_init(ic, f"{prefix}adapt.", channels, channels, 3)
+
+
+def osadapt_apply(ctx: Ctx, prefix: str, x: jnp.ndarray, scale: Scale,
+                  impl: str = "einsum") -> jnp.ndarray:
+    m = jax.nn.relu(batch_norm(ctx, f"{prefix}mask.1", conv2d(ctx, f"{prefix}mask.0", x, padding=1)))
+    m = avg_pool2(m)
+    m = jax.nn.relu(batch_norm(ctx, f"{prefix}mask.5", conv2d(ctx, f"{prefix}mask.4", m, padding=1)))
+    m = jax.nn.relu(batch_norm(ctx, f"{prefix}mask.8", conv2d(ctx, f"{prefix}mask.7", m, padding=1)))
+    m = upsample_bilinear_2x(m)
+    m = sigmoid(batch_norm(ctx, f"{prefix}mask.12", conv2d(ctx, f"{prefix}mask.11", m, padding=1)))
+    adapted = osconv_apply_module(ctx, f"{prefix}adapt.", x, scale, impl=impl)
+    return x + adapted * m
+
+
+# ---------------------------------------------------------------------------
+# STAUpsample
+# ---------------------------------------------------------------------------
+
+
+def stau_init(ic: InitCtx, prefix: str, channels: int, num_experts: int = 4,
+              st_ksize: int = 5) -> None:
+    ic.conv(f"{prefix}kernel_conv.0", 1, 1, channels, channels * st_ksize**2)
+    # experts stored as matrices: compress [n, C/8, C], expand [n, C, C/8]
+    wc = jnp.stack([
+        kaiming_uniform_matrix(ic.next_key(), (channels // 8, channels))
+        for _ in range(num_experts)
+    ])
+    we = jnp.stack([
+        kaiming_uniform_matrix(ic.next_key(), (channels, channels // 8))
+        for _ in range(num_experts)
+    ])
+    ic.raw(f"{prefix}weight_compress", wc)
+    ic.raw(f"{prefix}weight_expand", we)
+    ic.conv(f"{prefix}body.0", 1, 1, 4, 64)
+    ic.conv(f"{prefix}body.2", 1, 1, 64, 64)
+    ic.conv(f"{prefix}routing.0", 1, 1, 64, num_experts)
+    ic.conv(f"{prefix}offset", 1, 1, 64, 2)
+    ic.conv(f"{prefix}st_offset", 1, 1, 64, 2)
+    ic.conv(f"{prefix}fusion", 1, 1, 2 * channels, channels)
+
+
+def kaiming_uniform_matrix(key, shape_oi):
+    """kaiming_uniform(a=sqrt(5)) on an [out, in] matrix (torch 1x1-conv
+    stack init for the STAU experts, savsr_arch.py:233-241)."""
+    out, inp = shape_oi
+    gain = math.sqrt(2.0 / (1.0 + 5.0))
+    bound = gain * math.sqrt(3.0 / inp)
+    return jax.random.uniform(key, shape_oi, jnp.float32, -bound, bound)
+
+
+def _stau_coordinate_input(h: int, w: int, scale: Scale) -> np.ndarray:
+    """Static HR coordinate embedding input [1, H, W, 4]: channels
+    (1/sw, 1/sh, R(y), R(x)) — reference savsr_arch.py:326-340."""
+    H, W = get_hw(h, w, scale)
+    coor_h = np.arange(H, dtype=np.float32)
+    coor_h = ((coor_h + 0.5) / np.float32(scale[0])) - np.floor(
+        (coor_h + 0.5) / np.float32(scale[0]) + 1e-3
+    ) - 0.5
+    coor_w = np.arange(W, dtype=np.float32)
+    coor_w = ((coor_w + 0.5) / np.float32(scale[1])) - np.floor(
+        (coor_w + 0.5) / np.float32(scale[1]) + 1e-3
+    ) - 0.5
+    inp = np.empty((1, H, W, 4), dtype=np.float32)
+    inp[..., 0] = 1.0 / scale[1]
+    inp[..., 1] = 1.0 / scale[0]
+    inp[..., 2] = coor_h[None, :, None]
+    inp[..., 3] = coor_w[None, None, :]
+    return inp
+
+
+def _stau_base_grid(h: int, w: int, scale: Scale) -> np.ndarray:
+    """Static HR->LR projection grid [1, H, W, 2] normalized to [-1, 1]
+    (reference grid_sample, savsr_arch.py:262-282; float64 meshgrid then f32)."""
+    H, W = get_hw(h, w, scale)
+    gx, gy = np.meshgrid(np.arange(W, dtype=np.float64), np.arange(H, dtype=np.float64))
+    gx = (gx + 0.5) / scale[1] - 0.5
+    gy = (gy + 0.5) / scale[0] - 0.5
+    gx = gx * 2.0 / (w - 1) - 1.0
+    gy = gy * 2.0 / (h - 1) - 1.0
+    grid = np.stack([gx, gy], axis=-1).astype(np.float32)[None]
+    return grid
+
+
+def _stau_grid_sample(x: jnp.ndarray, offset: jnp.ndarray, scale: Scale) -> jnp.ndarray:
+    """grid_sample with HR->LR grid + predicted offsets (zeros padding,
+    align_corners=True)."""
+    b, h, w, _ = x.shape
+    base = jnp.asarray(_stau_base_grid(h, w, scale), dtype=x.dtype)
+    off_x = offset[..., 0:1] * (2.0 / (w - 1))
+    off_y = offset[..., 1:2] * (2.0 / (h - 1))
+    grid = base + jnp.concatenate([off_x, off_y], axis=-1)
+    grid = jnp.broadcast_to(grid, (b, *grid.shape[1:]))
+    return grid_sample_bilinear(x, grid, align_corners=True, padding_zeros=True)
+
+
+def sta_conv(feat: jnp.ndarray, kernel: jnp.ndarray, st_ksize: int = 5) -> jnp.ndarray:
+    """Per-pixel spatio-temporal filtering (reference sta_conv,
+    savsr_arch.py:297-313): feat [B,h,w,C] filtered by per-pixel ksize^2
+    kernels packed in ``kernel [B,h,w,C*k*k]`` (channel-major: c*k*k + dy*k + dx).
+
+    Implemented as k*k shifted multiply-accumulates on the VPU — no unfold
+    materialization of the [B,h,w,C,25] tensor."""
+    b, h, w, c = feat.shape
+    pad = (st_ksize - 1) // 2
+    fp = replicate_pad_hw(feat, pad)
+    k5 = kernel.reshape(b, h, w, c, st_ksize * st_ksize)
+    out = jnp.zeros_like(feat)
+    for dy in range(st_ksize):
+        for dx in range(st_ksize):
+            out = out + fp[:, dy : dy + h, dx : dx + w, :] * k5[..., dy * st_ksize + dx]
+    return out
+
+
+def stau_apply(
+    ctx: Ctx, prefix: str, x: jnp.ndarray, scale: Scale, st_feat: jnp.ndarray,
+    channels: int, num_experts: int = 4, st_ksize: int = 5,
+) -> jnp.ndarray:
+    b, h, w, c = x.shape
+    H, W = get_hw(h, w, scale)
+
+    # spatio-temporal adaptive filtering of x by kernels predicted from the
+    # alignment feature
+    kernel_warp = leaky_relu(conv2d(ctx, f"{prefix}kernel_conv.0", st_feat), 0.1)
+    sta_feat = sta_conv(x, kernel_warp, st_ksize)
+
+    # coordinate embedding -> routing / offsets (batch-size-1, broadcast)
+    inp = jnp.asarray(_stau_coordinate_input(h, w, scale), dtype=x.dtype)
+    emb = jax.nn.relu(conv2d(ctx, f"{prefix}body.0", inp))
+    emb = jax.nn.relu(conv2d(ctx, f"{prefix}body.2", emb))
+    offset = conv2d(ctx, f"{prefix}offset", emb)          # [1,H,W,2]
+    st_offset = conv2d(ctx, f"{prefix}st_offset", emb)    # [1,H,W,2]
+    routing = sigmoid(conv2d(ctx, f"{prefix}routing.0", emb))  # [1,H,W,n]
+
+    # grid sample + spatially-varying compress/expand. The reference builds
+    # per-pixel [C/8,C] and [C,C/8] matrices (savsr_arch.py:353-359); since
+    # both are linear mixtures over experts, we contract with each shared
+    # expert matrix first (4 MXU matmuls) and mix with the routing weights —
+    # mathematically identical, no [H,W,C/8,C] materialization.
+    fea0 = _stau_grid_sample(x, offset, scale)  # [B,H,W,C]
+    wc = ctx[f"{prefix}weight_compress"].astype(x.dtype)  # [n, C/8, C]
+    we = ctx[f"{prefix}weight_expand"].astype(x.dtype)    # [n, C, C/8]
+    r = routing[0]  # [H,W,n]
+    zc = jnp.einsum("bhwc,noc->bhwno", fea0, wc)
+    fc = jnp.einsum("bhwno,hwn->bhwo", zc, r)
+    ze = jnp.einsum("bhwo,nco->bhwnc", fc, we)
+    fea = jnp.einsum("bhwnc,hwn->bhwc", ze, r) + fea0
+
+    sta_up = _stau_grid_sample(sta_feat, st_offset, scale)
+    out = conv2d(ctx, f"{prefix}fusion", jnp.concatenate([sta_up, fea], axis=-1))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# ResidualBlock / WindowUnits / RCAN trunk
+# ---------------------------------------------------------------------------
+
+
+def residual_block_init(ic: InitCtx, prefix: str, num_feat: int, num_frame: int,
+                        use_osconv: bool) -> None:
+    for i in range(num_frame):
+        ic.conv(f"{prefix}conv0.{i}", 3, 3, num_feat, num_feat)
+    if use_osconv:
+        osconv_init(ic, f"{prefix}osconv.", num_feat * num_frame, num_feat, 3)
+    else:
+        ic.conv(f"{prefix}conv1", 1, 1, num_feat * num_frame, num_feat)
+    for i in range(num_frame):
+        ic.conv(f"{prefix}conv2.{i}", 3, 3, num_feat * 2, num_feat)
+
+
+def residual_block_apply(
+    ctx: Ctx, prefix: str, feats: List[jnp.ndarray], scale: Scale,
+    use_osconv: bool, impl: str = "einsum",
+) -> List[jnp.ndarray]:
+    n = len(feats)
+    x1 = [leaky_relu(conv2d(ctx, f"{prefix}conv0.{i}", feats[i], padding=1)) for i in range(n)]
+    merge = jnp.concatenate(x1, axis=-1)
+    if use_osconv:
+        base = leaky_relu(osconv_apply_module(ctx, f"{prefix}osconv.", merge, scale, impl=impl))
+    else:
+        base = leaky_relu(conv2d(ctx, f"{prefix}conv1", merge))
+    out = []
+    for i in range(n):
+        x2 = leaky_relu(
+            conv2d(ctx, f"{prefix}conv2.{i}", jnp.concatenate([base, x1[i]], axis=-1), padding=1)
+        )
+        out.append(feats[i] + x2)
+    return out
+
+
+def window_l1_init(ic: InitCtx, prefix: str, num_in_ch: int, num_feat: int,
+                   win_size: int = 3, num_block: int = 4) -> None:
+    ic.conv(f"{prefix}conv_c", 3, 3, num_in_ch, num_feat)
+    ic.conv(f"{prefix}conv_sup", 3, 3, num_in_ch * (win_size - 1), num_feat)
+    for i in range(num_block):
+        residual_block_init(ic, f"{prefix}blocks.{i}.", num_feat, 3, use_osconv=(i >= 1))
+    ic.conv(f"{prefix}merge", 3, 3, 3 * num_feat, num_feat)
+
+
+def window_l1_apply(
+    ctx: Ctx, prefix: str, x: jnp.ndarray, h_past: jnp.ndarray, scale: Scale,
+    num_block: int = 4, impl: str = "einsum",
+) -> jnp.ndarray:
+    """x: [B, T=3, H, W, C_in] sliding window; h_past: [B, H, W, C]."""
+    t = x.shape[1]
+    x_c = x[:, t // 2]
+    sup = [x[:, i] for i in range(t) if i != t // 2]
+    x_sup = jnp.concatenate(sup, axis=-1)
+    h_sup = leaky_relu(conv2d(ctx, f"{prefix}conv_sup", x_sup, padding=1))
+    h_c = leaky_relu(conv2d(ctx, f"{prefix}conv_c", x_c, padding=1))
+    feats = [h_c, h_sup, h_past]
+    for i in range(num_block):
+        feats = residual_block_apply(
+            ctx, f"{prefix}blocks.{i}.", feats, scale, use_osconv=(i >= 1), impl=impl
+        )
+    return conv2d(ctx, f"{prefix}merge", jnp.concatenate(feats, axis=-1), padding=1)
+
+
+def window_l2_init(ic: InitCtx, prefix: str, num_feat: int, win_size: int = 5,
+                   slid_win: int = 5, num_block: int = 2) -> None:
+    for i in range(win_size):
+        ic.conv(f"{prefix}conv_h.{i}", 3, 3, num_feat * 2, num_feat)
+    for i in range(num_block):
+        residual_block_init(ic, f"{prefix}blocks.{i}.", num_feat, slid_win, use_osconv=True)
+    ic.conv(f"{prefix}merge", 3, 3, slid_win * num_feat, num_feat * 2)
+
+
+def window_l2_apply(
+    ctx: Ctx, prefix: str, feats: List[jnp.ndarray], scale: Scale,
+    win_size: int, slid_win: int, num_block: int = 2, impl: str = "einsum",
+) -> List[jnp.ndarray]:
+    h_feat = [
+        leaky_relu(conv2d(ctx, f"{prefix}conv_h.{i}", feats[i], padding=1))
+        for i in range(win_size)
+    ]
+    out_feat = h_feat if len(h_feat) == 1 else []
+    for i in range(win_size - slid_win + 1):
+        sw = h_feat[i : i + slid_win]
+        for bi in range(num_block):
+            sw = residual_block_apply(
+                ctx, f"{prefix}blocks.{bi}.", sw, scale, use_osconv=True, impl=impl
+            )
+        out_feat.append(conv2d(ctx, f"{prefix}merge", jnp.concatenate(sw, axis=-1), padding=1))
+    return out_feat
+
+
+def rcab_init(ic: InitCtx, prefix: str, num_feat: int, squeeze_factor: int = 16) -> None:
+    ic.conv(f"{prefix}rcab.0", 3, 3, num_feat, num_feat)
+    ic.conv(f"{prefix}rcab.2", 3, 3, num_feat, num_feat)
+    ic.conv(f"{prefix}rcab.3.attention.1", 1, 1, num_feat, num_feat // squeeze_factor)
+    ic.conv(f"{prefix}rcab.3.attention.3", 1, 1, num_feat // squeeze_factor, num_feat)
+
+
+def rcab_apply(ctx: Ctx, prefix: str, x: jnp.ndarray, res_scale: float = 1.0) -> jnp.ndarray:
+    y = jax.nn.relu(conv2d(ctx, f"{prefix}rcab.0", x, padding=1))
+    y = conv2d(ctx, f"{prefix}rcab.2", y, padding=1)
+    # channel attention (SE)
+    a = adaptive_avg_pool_11(y)
+    a = jax.nn.relu(_fc1x1(ctx, f"{prefix}rcab.3.attention.1", a))
+    a = sigmoid(_fc1x1(ctx, f"{prefix}rcab.3.attention.3", a))
+    y = y * a[:, None, None, :]
+    return y * res_scale + x
+
+
+def residual_group_init(ic: InitCtx, prefix: str, num_feat: int, num_block: int) -> None:
+    for i in range(num_block):
+        rcab_init(ic, f"{prefix}residual_group.{i}.", num_feat)
+    ic.conv(f"{prefix}conv", 3, 3, num_feat, num_feat)
+
+
+def residual_group_apply(ctx: Ctx, prefix: str, x: jnp.ndarray, num_block: int) -> jnp.ndarray:
+    y = x
+    for i in range(num_block):
+        y = rcab_apply(ctx, f"{prefix}residual_group.{i}.", y)
+    return conv2d(ctx, f"{prefix}conv", y, padding=1) + x
+
+
+# ---------------------------------------------------------------------------
+# SAVSR top level
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class SAVSRConfig:
+    num_in_ch: int = 3
+    num_feat: int = 64
+    num_frame: int = 7
+    slid_win: int = 3
+    fusion_win: int = 5
+    interval: int = 0
+    w1_num_block: int = 4
+    w2_num_block: int = 2
+    n_resgroups: int = 4
+    n_resblocks: int = 8
+    center_frame_idx: int | None = None
+    osconv_impl: str = "einsum"
+    # 'float32' reproduces the reference bit-for-bit-ish; 'bfloat16'/'default'
+    # unlocks full-rate MXU matmuls for the perf path.
+    matmul_precision: str = "float32"
+
+    @property
+    def center(self) -> int:
+        return self.num_frame // 2 if self.center_frame_idx is None else self.center_frame_idx
+
+    @property
+    def iter_win(self) -> int:
+        if self.interval == 0:
+            return self.num_frame
+        if self.center % 2 == 0:
+            return self.center + 1
+        return self.center + 2
+
+
+def frame_sample_indices(num_frame: int, interval: int) -> Tuple[List[int], List[int]]:
+    """Static forward/backward frame index lists (savsr_arch.py:638-659)."""
+    index = list(range(num_frame))
+    if interval == 0:
+        return index, index
+    center = num_frame // 2
+    if center % 2 == 0:
+        forward_idx = index[1 :: (interval + 1)]
+        forward_idx.insert(center // 2, center)
+        backward_idx = index[:: (interval + 1)]
+    else:
+        forward_idx = index[:: (interval + 1)]
+        forward_idx.insert(center // 2 + 1, center)
+        backward_idx = index[1 :: (interval + 1)]
+        if len(forward_idx) != len(backward_idx):
+            backward_idx.append(forward_idx[-1])
+            backward_idx.insert(0, forward_idx[0])
+    return forward_idx, backward_idx
+
+
+@ARCH_REGISTRY.register()
+class SAVSR:
+    """Config holder + functional init/apply (the network itself is the
+    (params, apply) pair; there is no module object state)."""
+
+    def __init__(self, downsample_scale=2, **kwargs):
+        kwargs.pop("downsample_scale", None)
+        self.cfg = SAVSRConfig(**{k: v for k, v in kwargs.items() if v is not None or k == "center_frame_idx"})
+
+    def init(self, key) -> Params:
+        return savsr_init(key, self.cfg)
+
+    def apply(self, params: Params, x: jnp.ndarray, scale, train: bool = False):
+        return savsr_apply(params, x, normalize_scale(scale), self.cfg, train=train)
+
+
+def savsr_init(key, cfg: SAVSRConfig) -> Params:
+    ic = InitCtx(key)
+    window_l1_init(ic, "f2p_win.", cfg.num_in_ch, cfg.num_feat, cfg.slid_win, cfg.w1_num_block)
+    window_l1_init(ic, "p2f_win.", cfg.num_in_ch, cfg.num_feat, cfg.slid_win, cfg.w1_num_block)
+    n_l2 = (cfg.iter_win - cfg.fusion_win + 1) // 2
+    for i in range(n_l2):
+        window_l2_init(
+            ic, f"h_win.{i}.", cfg.num_feat,
+            win_size=(cfg.iter_win - cfg.slid_win + 1) - 2 * i,
+            slid_win=cfg.fusion_win, num_block=cfg.w2_num_block,
+        )
+    ic.conv("h_win_conv_h", 3, 3, cfg.num_feat * 2, cfg.num_feat)
+    for i in range(cfg.n_resgroups):
+        residual_group_init(ic, f"RG.{i}.", cfg.num_feat, cfg.n_resblocks)
+        osadapt_init(ic, f"adapt.{i}.", cfg.num_feat)
+    ic.raw("gamma", jnp.ones((1,), jnp.float32))
+    ic.conv("conv_last", 3, 3, cfg.num_feat, cfg.num_feat)
+    stau_init(ic, "upsample.", cfg.num_feat)
+    ic.conv("tail", 3, 3, cfg.num_feat, cfg.num_in_ch)
+    return ic.params
+
+
+def pad_spatial(x: jnp.ndarray, multiple: int = 2) -> jnp.ndarray:
+    """Reflect-pad [B,T,H,W,C] so H,W are multiples of ``multiple``
+    (OSAdapt's avgpool/upsample requires it; savsr_arch.py:670-690)."""
+    h, w = x.shape[2], x.shape[3]
+    pad_h = (multiple - h % multiple) % multiple
+    pad_w = (multiple - w % multiple) % multiple
+    if pad_h == 0 and pad_w == 0:
+        return x
+    return jnp.pad(x, ((0, 0), (0, 0), (0, pad_h), (0, pad_w), (0, 0)), mode="reflect")
+
+
+def savsr_apply(
+    params: Params, x: jnp.ndarray, scale: Scale, cfg: SAVSRConfig, train: bool = False
+):
+    """SAVSR forward: x [B, T, H, W, C] RGB in [0,1] -> [B, H*sh, W*sw, C].
+
+    Returns (sr, stats_updates); stats_updates is empty in eval mode.
+    """
+    with jax.default_matmul_precision(cfg.matmul_precision):
+        return _savsr_apply_inner(params, x, scale, cfg, train)
+
+
+def _savsr_apply_inner(
+    params: Params, x: jnp.ndarray, scale: Scale, cfg: SAVSRConfig, train: bool = False
+):
+    ctx = Ctx(params, train=train)
+    b, t, h_input, w_input, c = x.shape
+    H, W = get_hw(h_input, w_input, scale)
+    impl = cfg.osconv_impl
+
+    x_center = x[:, cfg.center]
+    x = pad_spatial(x)
+    hp, wp = x.shape[2], x.shape[3]
+
+    fwd_idx, bwd_idx = frame_sample_indices(t, cfg.interval)
+    x_forward = x[:, jnp.asarray(fwd_idx)] if cfg.interval else x
+    x_backward = x[:, jnp.asarray(bwd_idx)] if cfg.interval else x
+
+    n_iter = cfg.iter_win - cfg.slid_win + 1
+    half = cfg.slid_win // 2
+
+    ht_f2p = jnp.zeros((b, hp, wp, cfg.num_feat), dtype=x.dtype)
+    ht_p2f = jnp.zeros_like(ht_f2p)
+    h_f2p_list: List[jnp.ndarray] = [None] * n_iter
+    h_p2f_list: List[jnp.ndarray] = []
+    # sequential bidirectional propagation (savsr_arch.py:708-719); the loop
+    # is unrolled (n_iter is 5 for the shipped config) — weights are shared
+    # across iterations, so XLA still emits one fused program per unit.
+    for idx in range(n_iter):
+        cur_t = cfg.iter_win - 1 - half - idx
+        it = x_backward[:, cur_t - half : cur_t + half + 1]
+        ht_f2p = window_l1_apply(ctx, "f2p_win.", it, ht_f2p, scale, cfg.w1_num_block, impl)
+        h_f2p_list[n_iter - 1 - idx] = ht_f2p
+
+        cur_t = idx + half
+        it = x_forward[:, cur_t - half : cur_t + half + 1]
+        ht_p2f = window_l1_apply(ctx, "p2f_win.", it, ht_p2f, scale, cfg.w1_num_block, impl)
+        h_p2f_list.append(ht_p2f)
+
+    h_feat = [
+        jnp.concatenate([h_f2p_list[i], h_p2f_list[i]], axis=-1) for i in range(n_iter)
+    ]
+    n_l2 = (cfg.iter_win - cfg.fusion_win + 1) // 2
+    for i in range(n_l2):
+        h_feat = window_l2_apply(
+            ctx, f"h_win.{i}.", h_feat, scale,
+            win_size=(cfg.iter_win - cfg.slid_win + 1) - 2 * i,
+            slid_win=cfg.fusion_win, num_block=cfg.w2_num_block, impl=impl,
+        )
+    h_feat = h_feat[0]
+    h_feat = leaky_relu(conv2d(ctx, "h_win_conv_h", h_feat, padding=1))
+    align_feat = h_feat
+
+    # reconstruction trunk with scale-adaptive residual adapters
+    share_source = h_feat
+    gamma = ctx["gamma"].astype(x.dtype)
+    for i in range(cfg.n_resgroups):
+        h_feat = residual_group_apply(ctx, f"RG.{i}.", h_feat, cfg.n_resblocks)
+        h_feat = osadapt_apply(ctx, f"adapt.{i}.", h_feat, scale, impl)
+        h_feat = h_feat + gamma * share_source
+    h_feat = conv2d(ctx, "conv_last", h_feat, padding=1)
+    h_feat = h_feat + share_source
+
+    # arbitrary-scale upsampling on the un-padded region
+    sr = stau_apply(
+        ctx, "upsample.", h_feat[:, :h_input, :w_input], scale,
+        align_feat[:, :h_input, :w_input], cfg.num_feat,
+    )
+    sr = conv2d(ctx, "tail", sr, padding=1)
+    sr = sr + interpolate_bilinear(x_center, (H, W), align_corners=False)
+    return sr, ctx.stats_updates

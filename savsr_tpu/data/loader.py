@@ -1,0 +1,221 @@
+"""Torch-free data loading: dataset protocol, sampler, prefetching loader.
+
+Replaces torch.utils.data + the reference's prefetchers
+(lbasicsr/data/prefetch_dataloader.py) and EnlargedSampler
+(lbasicsr/data/data_sampler.py). Host-side only; batches are numpy pytrees
+that the training loop ships to device (the "CUDAPrefetcher" role is played
+by ``jax.device_put`` overlap in the train loop / DevicePrefetcher below).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Any, Callable, Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+
+class Dataset:
+    """Minimal map-style dataset protocol."""
+
+    def __getitem__(self, index: int) -> Dict[str, Any]:
+        raise NotImplementedError
+
+    def __len__(self) -> int:
+        raise NotImplementedError
+
+
+def default_collate(samples: List[Dict[str, Any]]) -> Dict[str, Any]:
+    """Stack numpy leaves along a new batch axis; pass through scalars/strings
+    as lists (single sample values when identical)."""
+    out: Dict[str, Any] = {}
+    for key in samples[0].keys():
+        vals = [s[key] for s in samples]
+        if isinstance(vals[0], np.ndarray):
+            out[key] = np.stack(vals, axis=0)
+        elif isinstance(vals[0], (int, float)):
+            out[key] = np.asarray(vals)
+        else:
+            out[key] = vals
+    return out
+
+
+class EnlargedSampler:
+    """Epoch-seeded shuffling sampler with dataset-enlarge ratio and
+    process-strided sharding (semantics of data_sampler.py:6-48: indices are
+    a seeded randperm of ratio*len rounded up to world_size, striped by
+    rank)."""
+
+    def __init__(self, num_samples: int, num_replicas: int = 1, rank: int = 0, ratio: int = 1):
+        self.dataset_len = num_samples
+        self.num_replicas = num_replicas
+        self.rank = rank
+        self.epoch = 0
+        self.num_samples = int(
+            np.ceil(num_samples * ratio / num_replicas)
+        )
+        self.total_size = self.num_samples * self.num_replicas
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+
+    def __iter__(self) -> Iterator[int]:
+        rng = np.random.default_rng(self.epoch)
+        indices = rng.permutation(self.total_size)
+        indices = (indices % self.dataset_len)[self.rank :: self.num_replicas]
+        return iter(indices.tolist())
+
+    def __len__(self) -> int:
+        return self.num_samples
+
+
+class SequentialSampler:
+    def __init__(self, num_samples: int, num_replicas: int = 1, rank: int = 0):
+        self.indices = list(range(num_samples))[rank::num_replicas]
+
+    def set_epoch(self, epoch: int) -> None:
+        pass
+
+    def __iter__(self):
+        return iter(self.indices)
+
+    def __len__(self):
+        return len(self.indices)
+
+
+class DataLoader:
+    """Batching loader with optional background-thread prefetch.
+
+    ``num_workers`` threads run ``dataset[i]`` + collate ahead of the
+    consumer (cv2/numpy release the GIL for the heavy parts). With
+    num_workers=0 everything is synchronous.
+    """
+
+    def __init__(
+        self,
+        dataset: Dataset,
+        batch_size: int = 1,
+        shuffle: bool = False,
+        sampler=None,
+        drop_last: bool = False,
+        collate_fn: Optional[Callable] = None,
+        num_workers: int = 0,
+        prefetch_depth: int = 4,
+        seed: Optional[int] = None,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.drop_last = drop_last
+        self.collate_fn = collate_fn or default_collate
+        self.num_workers = num_workers
+        self.prefetch_depth = max(prefetch_depth, 2 * max(num_workers, 1))
+        self._epoch = 0
+        if sampler is not None:
+            self.sampler = sampler
+            self._shuffle = False
+        else:
+            self.sampler = None
+            self._shuffle = shuffle
+            self._seed = seed if seed is not None else 0
+
+    def set_epoch(self, epoch: int) -> None:
+        self._epoch = epoch
+        if self.sampler is not None and hasattr(self.sampler, "set_epoch"):
+            self.sampler.set_epoch(epoch)
+        if hasattr(self.dataset, "set_epoch"):
+            self.dataset.set_epoch(epoch)
+
+    def _index_batches(self) -> List[List[int]]:
+        if self.sampler is not None:
+            indices = list(iter(self.sampler))
+        elif self._shuffle:
+            rng = np.random.default_rng(self._seed + self._epoch)
+            indices = rng.permutation(len(self.dataset)).tolist()
+        else:
+            indices = list(range(len(self.dataset)))
+        batches = [
+            indices[i : i + self.batch_size]
+            for i in range(0, len(indices), self.batch_size)
+        ]
+        if self.drop_last and batches and len(batches[-1]) < self.batch_size:
+            batches.pop()
+        return batches
+
+    def __len__(self) -> int:
+        if self.sampler is not None:
+            n = len(self.sampler)
+        else:
+            n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _load_batch(self, batch_indices: List[int]):
+        samples = [self.dataset[i] for i in batch_indices]
+        return self.collate_fn(samples)
+
+    def __iter__(self):
+        batches = self._index_batches()
+        if self.num_workers <= 0:
+            for bi in batches:
+                yield self._load_batch(bi)
+            return
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch_depth)
+        stop = threading.Event()
+
+        def producer():
+            try:
+                for bi in batches:
+                    if stop.is_set():
+                        return
+                    q.put(self._load_batch(bi))
+                q.put(None)
+            except BaseException as e:  # propagate worker failure
+                q.put(e)
+
+        # single producer thread preserves batch order; cv2/numpy release the
+        # GIL so decode overlaps with device compute
+        producer_thread = threading.Thread(target=producer, daemon=True)
+        producer_thread.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            stop.set()
+
+
+class DevicePrefetcher:
+    """Overlap host->device transfer with compute: keeps one batch in flight
+    on device (the TPU analogue of the reference CUDAPrefetcher,
+    prefetch_dataloader.py:84-125)."""
+
+    def __init__(self, loader: DataLoader, to_device: Callable[[Any], Any]):
+        self.loader = loader
+        self.to_device = to_device
+        self._iter = None
+        self._next = None
+
+    def reset(self) -> None:
+        self._iter = iter(self.loader)
+        self._preload()
+
+    def _preload(self) -> None:
+        try:
+            batch = next(self._iter)
+        except StopIteration:
+            self._next = None
+            return
+        self._next = self.to_device(batch)
+
+    def next(self):
+        batch = self._next
+        if batch is not None:
+            self._preload()
+        return batch

@@ -1,0 +1,85 @@
+"""Batched dynamic convolution: per-sample kernels on the MXU.
+
+This is the execution engine of OSConv2d (reference savsr_arch.py:139-172),
+which torch runs as a ``groups=B`` conv over a ``[1, B*C, h, w]`` view. That
+trick maps poorly to TPU; here the default formulation is im2col patches
+contracted against per-sample kernels with a single batched matmul
+(``einsum('bhwpi,bpio->bhwo')``), which XLA tiles directly onto the MXU.
+A feature-group formulation is kept for cross-checking, and a fused Pallas
+kernel (savsr_tpu/ops/pallas/osconv_kernel.py) is the performance path.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+from jax import lax
+
+
+def extract_patches(
+    x: jnp.ndarray, ksize: Tuple[int, int], stride: int = 1, padding: int = 0
+) -> jnp.ndarray:
+    """[B,H,W,C] -> [B,Ho,Wo,kh*kw,C] patch tensor (zero padded)."""
+    kh, kw = ksize
+    if padding:
+        x = jnp.pad(x, ((0, 0), (padding, padding), (padding, padding), (0, 0)))
+    h, w = x.shape[1], x.shape[2]
+    ho = (h - kh) // stride + 1
+    wo = (w - kw) // stride + 1
+    slices = []
+    for dy in range(kh):
+        for dx in range(kw):
+            slices.append(
+                x[:, dy : dy + ho * stride : stride, dx : dx + wo * stride : stride, :]
+            )
+    return jnp.stack(slices, axis=3)
+
+
+def osconv_apply_einsum(
+    x: jnp.ndarray, weight: jnp.ndarray, stride: int = 1, padding: int = 0
+) -> jnp.ndarray:
+    """Apply per-sample kernels ``weight [B,kh,kw,I,O]`` to ``x [B,H,W,I]``."""
+    b, kh, kw, ci, co = weight.shape
+    patches = extract_patches(x, (kh, kw), stride, padding)  # [B,Ho,Wo,P,I]
+    w = weight.reshape(b, kh * kw, ci, co)
+    return jnp.einsum("bhwpi,bpio->bhwo", patches, w)
+
+
+def osconv_apply_grouped(
+    x: jnp.ndarray, weight: jnp.ndarray, stride: int = 1, padding: int = 0
+) -> jnp.ndarray:
+    """Feature-group formulation (the reference's groups=B trick, adapted to
+    NHWC): one conv with feature_group_count=B."""
+    b, h, w_, ci = x.shape
+    _, kh, kw, _, co = weight.shape
+    xg = jnp.transpose(x, (1, 2, 0, 3)).reshape(1, h, w_, b * ci)
+    wg = jnp.transpose(weight, (1, 2, 3, 0, 4)).reshape(kh, kw, ci, b * co)
+    y = lax.conv_general_dilated(
+        xg,
+        wg,
+        window_strides=(stride, stride),
+        padding=((padding, padding), (padding, padding)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=b,
+    )
+    ho, wo = y.shape[1], y.shape[2]
+    return jnp.transpose(y.reshape(ho, wo, b, co), (2, 0, 1, 3))
+
+
+def osconv_apply(
+    x: jnp.ndarray,
+    weight: jnp.ndarray,
+    stride: int = 1,
+    padding: int = 0,
+    impl: str = "einsum",
+) -> jnp.ndarray:
+    if impl == "einsum":
+        return osconv_apply_einsum(x, weight, stride, padding)
+    if impl == "grouped":
+        return osconv_apply_grouped(x, weight, stride, padding)
+    if impl == "pallas":
+        from .pallas.osconv_kernel import osconv_pallas
+
+        return osconv_pallas(x, weight, stride, padding)
+    raise ValueError(f"unknown osconv impl {impl}")

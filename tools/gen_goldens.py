@@ -146,6 +146,36 @@ def gen_savsr_forward():
           len(sd), "state entries")
 
 
+def gen_small_savsr():
+    """A reduced SAVSR (16 feat, 2/1 blocks, 1 group) whose full forward
+    compiles quickly on CPU — the fast end-to-end parity fixture."""
+    import torch
+
+    _install_lbasicsr_stubs()
+    ref_arch = _load_module(os.path.join(REF, "lbasicsr/archs/savsr_arch.py"), "ref_savsr")
+
+    torch.manual_seed(77)
+    model = ref_arch.SAVSR(
+        num_in_ch=3, num_feat=16, num_frame=7, slid_win=3, fusion_win=5,
+        interval=0, w1_num_block=2, w2_num_block=1, n_resgroups=1, n_resblocks=2,
+    )
+    model.eval()
+    rng = np.random.default_rng(5)
+    x = rng.random((2, 7, 3, 11, 14)).astype(np.float32)  # odd sizes: pad path
+    xt = torch.from_numpy(x)
+    out = {"x": x}
+    for scale in [(2.0, 2.0), (1.5, 3.5)]:
+        model.set_scale(scale)
+        with torch.no_grad():
+            out[f"y_{scale[0]}_{scale[1]}"] = model(xt).numpy()
+    np.savez_compressed(os.path.join(GOLDEN_DIR, "savsr_small_forward.npz"), **out)
+    np.savez_compressed(
+        os.path.join(GOLDEN_DIR, "savsr_small_state.npz"),
+        **{k: v.numpy() for k, v in model.state_dict().items()},
+    )
+    print("savsr_small goldens written")
+
+
 def gen_module_goldens():
     """Per-module oracle outputs (OSConv2d, ScaleAttention, STAUpsample,
     WindowUnit_l1) with their state_dicts, for unit-level parity."""
@@ -207,4 +237,5 @@ if __name__ == "__main__":
     gen_core_resize()
     gen_metrics()
     gen_module_goldens()
+    gen_small_savsr()
     gen_savsr_forward()
