@@ -112,7 +112,7 @@ class InitCtx:
         self.params[f"{name}.bias"] = jnp.zeros((c,), jnp.float32)
         self.params[f"{name}.running_mean"] = jnp.zeros((c,), jnp.float32)
         self.params[f"{name}.running_var"] = jnp.ones((c,), jnp.float32)
-        self.params[f"{name}.num_batches_tracked"] = jnp.zeros((), jnp.int64)
+        self.params[f"{name}.num_batches_tracked"] = jnp.zeros((), jnp.int32)
 
     def raw(self, name: str, value):
         self.params[name] = value

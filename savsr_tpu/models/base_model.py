@@ -1,0 +1,248 @@
+"""BaseModel: device placement, optimizers, EMA, checkpointing, LR control.
+
+TPU-native counterpart of lbasicsr/models/base_model.py. Differences by
+design: instead of DDP-wrapping a stateful module, the model holds pure
+pytrees (params / params_ema / opt_state) replicated over a 1-D data mesh;
+the train step is a jitted pure function and XLA derives the gradient
+all-reduce from shardings. Checkpoint artifacts keep the reference's shape:
+``net_g_<iter>.npz`` holding {params, params_ema} and
+``<iter>.state`` orbax directories holding {step, epoch, opt_state, ...}.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+import time
+from copy import deepcopy
+from os import path as osp
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..parallel.mesh import get_data_mesh, replicate
+from ..utils.dist_util import master_only
+from ..utils.logger import get_root_logger
+from .lr_scheduler import build_schedule
+
+STAT_SUFFIXES = ("running_mean", "running_var", "num_batches_tracked")
+
+
+def is_trainable_key(key: str) -> bool:
+    return not key.endswith(STAT_SUFFIXES)
+
+
+def split_params(params: Dict) -> tuple[Dict, Dict]:
+    """(trainable, stats) partition of a flat param dict."""
+    train = {k: v for k, v in params.items() if is_trainable_key(k)}
+    stats = {k: v for k, v in params.items() if not is_trainable_key(k)}
+    return train, stats
+
+
+class BaseModel:
+    """Base train/eval state machine."""
+
+    def __init__(self, opt: dict):
+        self.opt = opt
+        self.is_train = opt["is_train"]
+        self.mesh = get_data_mesh()
+        self.schedulers: list[Callable] = []
+        self.optimizers: list = []
+        self.log_dict: Dict[str, float] = {}
+
+    # ------------------------------------------------------------------ #
+    # optimizer / scheduler factory
+    # ------------------------------------------------------------------ #
+
+    def get_optimizer(self, optim_type: str, **kwargs) -> optax.GradientTransformation:
+        """optax optimizer matching torch semantics; the learning rate is
+        injected per-step (schedules are evaluated on host), so the chain
+        ends with scale(-1) and updates are multiplied by lr in the step."""
+        wd = kwargs.pop("weight_decay", 0) or 0
+        kwargs.pop("lr", None)
+        betas = kwargs.pop("betas", (0.9, 0.999))
+        chain = []
+        if optim_type == "Adam":
+            if wd:
+                chain.append(optax.add_decayed_weights(wd))  # torch L2-in-grad
+            chain.append(optax.scale_by_adam(b1=betas[0], b2=betas[1],
+                                             eps=kwargs.pop("eps", 1e-8)))
+        elif optim_type == "AdamW":
+            chain.append(optax.scale_by_adam(b1=betas[0], b2=betas[1],
+                                             eps=kwargs.pop("eps", 1e-8)))
+            if wd:
+                chain.append(optax.add_decayed_weights(wd))
+        elif optim_type == "Adamax":
+            chain.append(optax.scale_by_adamax(b1=betas[0], b2=betas[1]))
+            if wd:
+                chain.append(optax.add_decayed_weights(wd))
+        elif optim_type == "SGD":
+            momentum = kwargs.pop("momentum", 0)
+            if wd:
+                chain.append(optax.add_decayed_weights(wd))
+            if momentum:
+                chain.append(optax.trace(decay=momentum, nesterov=kwargs.pop("nesterov", False)))
+        elif optim_type == "RMSprop":
+            chain.append(optax.scale_by_rms(decay=kwargs.pop("alpha", 0.99),
+                                            eps=kwargs.pop("eps", 1e-8)))
+            if wd:
+                chain.append(optax.add_decayed_weights(wd))
+        else:
+            raise NotImplementedError(f"optimizer {optim_type} is not supported yet.")
+        chain.append(optax.scale(-1.0))
+        return optax.chain(*chain)
+
+    def setup_schedulers(self) -> None:
+        """Attach host-side step->lr schedules (reference base_model.py:126)."""
+        train_opt = self.opt["train"]
+        base_lr = self.opt["train"]["optim_g"].get("lr", 1e-4)
+        self.schedulers = [build_schedule(train_opt, base_lr)]
+
+    def get_current_learning_rate(self, current_iter: int) -> list[float]:
+        return [sched(current_iter) for sched in self.schedulers]
+
+    def update_learning_rate(self, current_iter: int, warmup_iter: int = -1) -> None:
+        """LR for this iteration, with linear warmup (base_model.py:185-206).
+        The value is consumed by optimize_parameters; nothing device-side."""
+        lrs = self.get_current_learning_rate(current_iter)
+        if current_iter < warmup_iter:
+            init_lrs = [self.opt["train"]["optim_g"].get("lr", 1e-4)]
+            lrs = [v / warmup_iter * current_iter for v in init_lrs]
+        self._current_lrs = lrs
+
+    # ------------------------------------------------------------------ #
+    # validation bookkeeping
+    # ------------------------------------------------------------------ #
+
+    def _initialize_best_metric_results(self, dataset_name: str) -> None:
+        if hasattr(self, "best_metric_results") and dataset_name in self.best_metric_results:
+            return
+        if not hasattr(self, "best_metric_results"):
+            self.best_metric_results: Dict[str, Dict] = {}
+        record = {}
+        for metric, content in self.opt["val"]["metrics"].items():
+            better = content.get("better", "higher")
+            init_val = float("-inf") if better == "higher" else float("inf")
+            record[metric] = dict(better=better, val=init_val, iter=-1)
+        self.best_metric_results[dataset_name] = record
+
+    def _update_best_metric_result(self, dataset_name, metric, val, current_iter):
+        rec = self.best_metric_results[dataset_name][metric]
+        if (rec["better"] == "higher" and val >= rec["val"]) or (
+            rec["better"] == "lower" and val <= rec["val"]
+        ):
+            rec["val"] = val
+            rec["iter"] = current_iter
+
+    # ------------------------------------------------------------------ #
+    # EMA
+    # ------------------------------------------------------------------ #
+
+    @staticmethod
+    def ema_update(ema: Dict, params: Dict, decay: float) -> Dict:
+        """params_ema = decay*ema + (1-decay)*params on trainable keys;
+        BN statistics follow the live params (base_model.py:75-82)."""
+        out = {}
+        for k, v in params.items():
+            if is_trainable_key(k):
+                out[k] = ema[k] * decay + v * (1 - decay)
+            else:
+                out[k] = v
+        return out
+
+    # ------------------------------------------------------------------ #
+    # checkpoint IO
+    # ------------------------------------------------------------------ #
+
+    @master_only
+    def save_network(self, params_dict: Dict[str, Dict], save_root: str, net_label: str,
+                     current_iter: int) -> None:
+        """Save {'params': ..., 'params_ema': ...} as one npz with
+        slash-prefixed keys (artifact parity with net_g_<iter>.pth)."""
+        if current_iter == -1:
+            current_iter = "latest"
+        save_path = osp.join(save_root, f"{net_label}_{current_iter}.npz")
+        flat = {}
+        for pk, tree in params_dict.items():
+            for k, v in tree.items():
+                flat[f"{pk}/{k}"] = np.asarray(v)
+        for attempt in range(3):  # mirror the 3-retry robustness
+            try:
+                np.savez(save_path, **flat)
+                break
+            except Exception as e:
+                get_root_logger().warning(f"Save ckpt error: {e}, retry {attempt + 1}")
+                time.sleep(1)
+        else:
+            raise IOError(f"Cannot save {save_path}.")
+
+    def load_network(self, load_path: str, param_key: Optional[str] = "params",
+                     strict: bool = True) -> Dict[str, np.ndarray]:
+        logger = get_root_logger()
+        logger.info(f"Loading model from {load_path} (key: {param_key}).")
+        if load_path.endswith(".pth"):
+            from ..utils.convert import load_torch_checkpoint
+
+            return load_torch_checkpoint(load_path, param_key)
+        data = np.load(load_path)
+        keys = data.files
+        if any(k.startswith(f"{param_key}/") for k in keys):
+            out = {k.split("/", 1)[1]: data[k] for k in keys if k.startswith(f"{param_key}/")}
+        elif any(k.startswith("params/") for k in keys):
+            out = {k.split("/", 1)[1]: data[k] for k in keys if k.startswith("params/")}
+        else:
+            out = {k: data[k] for k in keys}  # bare param dict (converted import)
+        return out
+
+    def check_loaded_keys(self, current: Dict, loaded: Dict, strict: bool = True) -> None:
+        crt, ld = set(current.keys()), set(loaded.keys())
+        if crt != ld:
+            logger = get_root_logger()
+            logger.warning("Current net - loaded net:")
+            for v in sorted(crt - ld):
+                logger.warning(f"  {v}")
+            logger.warning("Loaded net - current net:")
+            for v in sorted(ld - crt):
+                logger.warning(f"  {v}")
+            if strict:
+                raise KeyError("State dict key mismatch (strict load).")
+
+    @master_only
+    def save_training_state(self, state_root: str, epoch: int, current_iter: int,
+                            extra: Optional[Dict] = None) -> None:
+        """Pickle {epoch, iter, opt_state} (reference base_model.py:321-354)."""
+        if current_iter == -1:
+            return
+        state = {
+            "epoch": epoch,
+            "iter": current_iter,
+            "opt_state": jax.tree_util.tree_map(np.asarray, self.opt_state),
+        }
+        if extra:
+            state.update(extra)
+        path = osp.join(state_root, f"{current_iter}.state")
+        for attempt in range(3):
+            try:
+                with open(path, "wb") as f:
+                    pickle.dump(state, f)
+                break
+            except Exception as e:
+                get_root_logger().warning(f"Save state error: {e}, retry {attempt + 1}")
+                time.sleep(1)
+        else:
+            raise IOError(f"Cannot save {path}.")
+
+    def resume_training(self, resume_state: dict) -> None:
+        self.opt_state = jax.tree_util.tree_map(
+            jnp.asarray, resume_state["opt_state"],
+            is_leaf=lambda x: isinstance(x, np.ndarray),
+        )
+        self.opt_state = replicate(self.opt_state, self.mesh)
+
+    def reduce_loss_dict(self, loss_dict: Dict) -> Dict[str, float]:
+        """Loss values under jit sharding are already globally reduced; this
+        just materializes floats for logging."""
+        return {k: float(v) for k, v in loss_dict.items()}

@@ -1,0 +1,272 @@
+"""SRModel: generic single-output super-resolution trainer/evaluator.
+
+Counterpart of lbasicsr/models/sr_model.py. The train step is one jitted
+pure function (forward -> pixel loss -> grads -> optax update -> EMA),
+compiled per (input shape, scale); data parallelism comes from batch
+shardings over the model's mesh, with XLA inserting the gradient
+all-reduce.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from collections import OrderedDict
+from os import path as osp
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..archs import build_network
+from ..data.resize import resize_np
+from ..losses import build_loss
+from ..metrics import calculate_metric
+from ..parallel.mesh import replicate, shard_or_replicate_batch
+from ..utils.img_util import array2img, imwrite
+from ..utils.logger import get_root_logger
+from ..utils.registry import MODEL_REGISTRY
+from .base_model import BaseModel, is_trainable_key, split_params
+
+
+@MODEL_REGISTRY.register()
+class SRModel(BaseModel):
+    def __init__(self, opt: dict):
+        super().__init__(opt)
+        self.net_g = build_network(opt["network_g"])
+
+        seed = opt.get("manual_seed") or 0
+        self.params = self.net_g.init(jax.random.PRNGKey(seed))
+
+        load_path = self.opt["path"].get("pretrain_network_g")
+        if load_path is not None:
+            param_key = self.opt["path"].get("param_key_g", "params")
+            loaded = self.load_network(
+                load_path, param_key, self.opt["path"].get("strict_load_g", True)
+            )
+            self.check_loaded_keys(self.params, loaded,
+                                   self.opt["path"].get("strict_load_g", True))
+            self.params = {k: jnp.asarray(v) for k, v in loaded.items()}
+
+        self.params = replicate(self.params, self.mesh)
+        self.params_ema = None
+        self.scale = self.opt.get("scale", (4, 4))
+        self._fwd_cache = {}
+
+        if self.is_train:
+            self.init_training_settings()
+
+    # ------------------------------------------------------------------ #
+    # training setup
+    # ------------------------------------------------------------------ #
+
+    def init_training_settings(self) -> None:
+        train_opt = self.opt["train"]
+        self.ema_decay = train_opt.get("ema_decay", 0)
+        logger = get_root_logger()
+        if self.ema_decay > 0:
+            logger.info(f"Use Exponential Moving Average with decay: {self.ema_decay}")
+            load_path = self.opt["path"].get("pretrain_network_g")
+            if load_path is not None:
+                try:
+                    ema = self.load_network(load_path, "params_ema", strict=True)
+                    self.params_ema = replicate(
+                        {k: jnp.asarray(v) for k, v in ema.items()}, self.mesh
+                    )
+                except Exception:
+                    self.params_ema = dict(self.params)
+            else:
+                self.params_ema = dict(self.params)
+
+        self.cri_pix = build_loss(train_opt["pixel_opt"]) if train_opt.get("pixel_opt") else None
+        self.cri_perceptual = (
+            build_loss(train_opt["perceptual_opt"]) if train_opt.get("perceptual_opt") else None
+        )
+        if self.cri_pix is None and self.cri_perceptual is None:
+            raise ValueError("Both pixel and perceptual losses are None.")
+
+        self.setup_optimizers()
+        self.setup_schedulers()
+
+    def setup_optimizers(self) -> None:
+        train_opt = self.opt["train"]
+        optim_opt = dict(train_opt["optim_g"])
+        optim_type = optim_opt.pop("type")
+        self.base_lr = optim_opt.get("lr", 1e-4)
+        self.optimizer_g = self.get_optimizer(optim_type, **optim_opt)
+        trainable, _ = split_params(self.params)
+        self.opt_state = replicate(self.optimizer_g.init(trainable), self.mesh)
+        self.optimizers = [self.optimizer_g]
+
+    # ------------------------------------------------------------------ #
+    # data / step
+    # ------------------------------------------------------------------ #
+
+    def feed_data(self, data: Dict) -> None:
+        batch = {"lq": np.asarray(data["lq"], dtype=np.float32)}
+        if "gt" in data:
+            batch["gt"] = np.asarray(data["gt"], dtype=np.float32)
+        batch = shard_or_replicate_batch(batch, self.mesh)
+        self.lq = batch["lq"]
+        self.gt = batch.get("gt")
+        if "scale" in data and data["scale"] is not None:
+            s = data["scale"]
+            self.scale = (float(s[0]), float(s[1])) if isinstance(s, (tuple, list)) else (float(s), float(s))
+
+    def _loss_fn(self, trainable, stats, lq, gt, scale):
+        params = {**trainable, **stats}
+        output, stats_updates = self.net_g.apply(params, lq, scale, train=True)
+        losses = {}
+        total = 0.0
+        if self.cri_pix is not None:
+            l_pix = self.cri_pix(output, gt)
+            losses["l_pix"] = l_pix
+            total = total + l_pix
+        losses["l_total"] = total
+        return total, (losses, stats_updates, output)
+
+    @functools.partial(jax.jit, static_argnames=("self", "scale"))
+    def _train_step(self, trainable, stats, ema, opt_state, lq, gt, lr, scale):
+        (_, (losses, stats_updates, _)), grads = jax.value_and_grad(
+            self._loss_fn, has_aux=True
+        )(trainable, stats, lq, gt, scale)
+        updates, opt_state = self.optimizer_g.update(grads, opt_state, trainable)
+        updates = jax.tree_util.tree_map(lambda u: u * lr, updates)
+        trainable = jax.tree_util.tree_map(lambda p, u: p + u, trainable, updates)
+        stats = {**stats, **stats_updates}
+        if ema is not None:
+            decay = self.ema_decay
+            ema = {
+                k: (ema[k] * decay + trainable[k] * (1 - decay)) if k in trainable else stats[k]
+                for k in ema
+            }
+        return trainable, stats, ema, opt_state, losses
+
+    def optimize_parameters(self, current_iter: int) -> None:
+        lr = getattr(self, "_current_lrs", [self.base_lr])[0]
+        trainable, stats = split_params(self.params)
+        ema = self.params_ema if self.ema_decay > 0 else None
+        scale = tuple(self.scale) if isinstance(self.scale, (tuple, list)) else (self.scale, self.scale)
+        trainable, stats, ema, self.opt_state, losses = self._train_step(
+            trainable, stats, ema, self.opt_state, self.lq, self.gt,
+            jnp.float32(lr), scale,
+        )
+        self.params = {**trainable, **stats}
+        if ema is not None:
+            self.params_ema = ema
+        self.log_dict = self.reduce_loss_dict(losses)
+
+    # ------------------------------------------------------------------ #
+    # inference / eval
+    # ------------------------------------------------------------------ #
+
+    def _forward_eval(self, params, lq, scale):
+        key = ("fwd",)
+        if key not in self._fwd_cache:
+            @functools.partial(jax.jit, static_argnames=("scale",))
+            def fwd(params, lq, scale):
+                out, _ = self.net_g.apply(params, lq, scale, train=False)
+                return out
+            self._fwd_cache[key] = fwd
+        return self._fwd_cache[key](params, lq, scale)
+
+    def test(self) -> None:
+        params = self.params_ema if self.params_ema is not None else self.params
+        scale = tuple(self.scale) if isinstance(self.scale, (tuple, list)) else (self.scale, self.scale)
+        self.output = self._forward_eval(params, self.lq, scale)
+
+    def get_current_visuals(self) -> "OrderedDict":
+        """lq / result / gt as host numpy; arbitrary-scale BI post-process:
+        if output and gt shapes differ, bicubic-resize (antialiased) the
+        output to the gt size (reference sr_model.py:291-304)."""
+        out = np.asarray(self.output)
+        gt = np.asarray(self.gt) if self.gt is not None else None
+        if gt is not None and out.shape != gt.shape:
+            out = resize_np(out, (gt.shape[-3], gt.shape[-2]), mode="torch", antialias=True)
+        d = OrderedDict()
+        d["lq"] = np.asarray(self.lq)
+        d["result"] = out
+        if gt is not None:
+            d["gt"] = gt
+        return d
+
+    # ------------------------------------------------------------------ #
+    # validation
+    # ------------------------------------------------------------------ #
+
+    def validation(self, dataloader, current_iter, tb_logger, save_img=False):
+        self.nondist_validation(dataloader, current_iter, tb_logger, save_img)
+
+    def dist_validation(self, dataloader, current_iter, tb_logger, save_img=False):
+        self.nondist_validation(dataloader, current_iter, tb_logger, save_img)
+
+    def nondist_validation(self, dataloader, current_iter, tb_logger, save_img):
+        dataset_name = dataloader.dataset.opt["name"]
+        with_metrics = self.opt["val"].get("metrics") is not None
+        use_pbar = self.opt["val"].get("pbar", False)
+        if with_metrics:
+            self.metric_results = {m: 0 for m in self.opt["val"]["metrics"].keys()}
+            self._initialize_best_metric_results(dataset_name)
+
+        cnt = 0
+        for val_data in dataloader:
+            img_name = osp.splitext(osp.basename(val_data["lq_path"][0]))[0]
+            self.feed_data(val_data)
+            self.test()
+            visuals = self.get_current_visuals()
+            sr_img = array2img(visuals["result"][0])
+            metric_data = {"img": sr_img}
+            if "gt" in visuals:
+                metric_data["img2"] = array2img(visuals["gt"][0])
+
+            if save_img:
+                if self.opt["is_train"]:
+                    save_path = osp.join(
+                        self.opt["path"]["visualization"], img_name,
+                        f"{img_name}_{current_iter}.png",
+                    )
+                else:
+                    suffix = self.opt["val"].get("suffix") or self.opt["name"]
+                    save_path = osp.join(
+                        self.opt["path"]["visualization"], dataset_name,
+                        f"{img_name}_{suffix}.png",
+                    )
+                imwrite(sr_img, save_path)
+
+            if with_metrics:
+                for name, opt_ in self.opt["val"]["metrics"].items():
+                    self.metric_results[name] += calculate_metric(metric_data, opt_)
+            cnt += 1
+
+        if with_metrics:
+            for metric in self.metric_results.keys():
+                self.metric_results[metric] /= cnt
+                self._update_best_metric_result(
+                    dataset_name, metric, self.metric_results[metric], current_iter
+                )
+            self._log_validation_metric_values(current_iter, dataset_name, tb_logger)
+
+    def _log_validation_metric_values(self, current_iter, dataset_name, tb_logger):
+        log_str = f"Validation {dataset_name}\n"
+        for metric, value in self.metric_results.items():
+            log_str += f"\t # {metric}: {value:.4f}"
+            if hasattr(self, "best_metric_results"):
+                rec = self.best_metric_results[dataset_name][metric]
+                log_str += f"\tBest: {rec['val']:.4f} @ {rec['iter']} iter"
+            log_str += "\n"
+        get_root_logger().info(log_str)
+        if tb_logger:
+            for metric, value in self.metric_results.items():
+                tb_logger.add_scalar(f"metrics/{dataset_name}/{metric}", value, current_iter)
+
+    # ------------------------------------------------------------------ #
+    # save
+    # ------------------------------------------------------------------ #
+
+    def save(self, epoch: int, current_iter: int) -> None:
+        nets = {"params": jax.tree_util.tree_map(np.asarray, self.params)}
+        if self.params_ema is not None:
+            nets["params_ema"] = jax.tree_util.tree_map(np.asarray, self.params_ema)
+        self.save_network(nets, self.opt["path"]["models"], "net_g", current_iter)
+        self.save_training_state(self.opt["path"]["training_states"], epoch, current_iter)

@@ -36,6 +36,8 @@ def convert_state_dict(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
             out[key] = v.transpose(1, 0)  # [out,in] -> [in,out]
         else:
             out[key] = v
+        if out[key].dtype == np.int64:
+            out[key] = out[key].astype(np.int32)
     return out
 
 
