@@ -45,11 +45,13 @@ def upfirdn2d(
     k = jnp.flip(kernel, (0, 1)).astype(x.dtype)[:, :, None, None]
     k = jnp.tile(k, (1, 1, 1, c))  # depthwise
 
+    # lhs_dilation produces (h-1)*up+1 samples; upfirdn zero-stuffs to h*up,
+    # so the up-1 trailing zeros fold into the trailing padding
     y = lax.conv_general_dilated(
         x,
         k,
         window_strides=(down[0], down[1]),
-        padding=((pad_y0, pad_y1), (pad_x0, pad_x1)),
+        padding=((pad_y0, pad_y1 + up[0] - 1), (pad_x0, pad_x1 + up[1] - 1)),
         lhs_dilation=(up[0], up[1]),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=c,
