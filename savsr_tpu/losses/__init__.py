@@ -2,10 +2,11 @@ from copy import deepcopy
 
 from ..utils.logger import get_root_logger
 from ..utils.registry import LOSS_REGISTRY
-from .basic_loss import CharbonnierLoss, L1Loss, MSELoss, WeightedTVLoss
+from .basic_loss import CharbonnierLoss, L1Loss, MSELoss, PerceptualLoss, WeightedTVLoss
 from .gan_loss import GANLoss, MultiScaleGANLoss
 
 __all__ = [
+    "PerceptualLoss",
     "L1Loss",
     "MSELoss",
     "CharbonnierLoss",

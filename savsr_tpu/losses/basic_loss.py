@@ -6,6 +6,7 @@ instantiated by name through LOSS_REGISTRY from YAML.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from ..utils.registry import LOSS_REGISTRY
@@ -62,6 +63,78 @@ class CharbonnierLoss(_WeightedLoss):
         return self.loss_weight * charbonnier_loss(
             pred, target, weight, reduction=self.reduction, eps=self.eps
         )
+
+
+@LOSS_REGISTRY.register()
+class PerceptualLoss:
+    """VGG-feature (+ optional Gram style) loss (reference
+    basic_loss.py:147-253). Requires converted VGG19 weights
+    (vgg_weights_path) — see archs/vgg_arch.py."""
+
+    def __init__(
+        self,
+        layer_weights: dict,
+        vgg_type: str = "vgg19",
+        use_input_norm: bool = True,
+        range_norm: bool = False,
+        perceptual_weight: float = 1.0,
+        style_weight: float = 0.0,
+        criterion: str = "l1",
+        vgg_weights_path: str | None = None,
+    ):
+        import jax
+
+        from ..archs.vgg_arch import VGGFeatureExtractor
+
+        self.layer_weights = layer_weights
+        self.perceptual_weight = perceptual_weight
+        self.style_weight = style_weight
+        self.criterion_type = criterion
+        self.vgg = VGGFeatureExtractor(
+            layer_name_list=list(layer_weights.keys()),
+            vgg_type=vgg_type,
+            use_input_norm=use_input_norm,
+            range_norm=range_norm,
+            vgg_weights_path=vgg_weights_path,
+        )
+        self.vgg_params = self.vgg.init(jax.random.PRNGKey(0))
+
+    def _crit(self, a, b):
+        if self.criterion_type == "l1":
+            return jnp.abs(a - b).mean()
+        if self.criterion_type == "l2" or self.criterion_type == "mse":
+            return ((a - b) ** 2).mean()
+        if self.criterion_type == "fro":
+            return jnp.linalg.norm(a - b)
+        raise NotImplementedError(f"{self.criterion_type} criterion not supported.")
+
+    @staticmethod
+    def _gram(x):
+        n, h, w, c = x.shape
+        feat = x.reshape(n, h * w, c)
+        return jnp.einsum("nic,nid->ncd", feat, feat) / (c * h * w)
+
+    def __call__(self, x, gt, **kwargs):
+        x_features = self.vgg.apply(self.vgg_params, x)
+        gt_features = self.vgg.apply(self.vgg_params, jax.lax.stop_gradient(gt))
+
+        percep_loss = None
+        if self.perceptual_weight > 0:
+            percep_loss = 0.0
+            for k in x_features.keys():
+                percep_loss += self._crit(x_features[k], gt_features[k]) * self.layer_weights[k]
+            percep_loss *= self.perceptual_weight
+
+        style_loss = None
+        if self.style_weight > 0:
+            style_loss = 0.0
+            for k in x_features.keys():
+                style_loss += (
+                    self._crit(self._gram(x_features[k]), self._gram(gt_features[k]))
+                    * self.layer_weights[k]
+                )
+            style_loss *= self.style_weight
+        return percep_loss, style_loss
 
 
 @LOSS_REGISTRY.register()
