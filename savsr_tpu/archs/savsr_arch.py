@@ -172,6 +172,22 @@ def osconv_apply_module(
         ctx, f"{prefix}attention.", r, kernel_size, temperature
     )
 
+    if impl == "pallas":
+        # fully-fused path: attentions fold into the small aggregated weight
+        # inside the kernel; raw activations go straight to the MXU
+        from ..ops.pallas.osconv_kernel import osconv_fused
+
+        assert stride == 1
+        return osconv_fused(
+            x,
+            weight,
+            ca,
+            fa if fa is not None else jnp.ones((b, weight.shape[-1]), x.dtype),
+            sa if sa is not None else jnp.ones((b, kernel_size, kernel_size), x.dtype),
+            ka if ka is not None else jnp.ones((b, 1), x.dtype),
+            padding,
+        )
+
     x = x * ca[:, None, None, :]
     # aggregate per-sample kernels: sum_K ka * (sa ⊙ W_K)
     w = weight.astype(x.dtype)

@@ -78,8 +78,7 @@ def osconv_apply(
         return osconv_apply_einsum(x, weight, stride, padding)
     if impl == "grouped":
         return osconv_apply_grouped(x, weight, stride, padding)
-    if impl == "pallas":
-        from .pallas.osconv_kernel import osconv_pallas
-
-        return osconv_pallas(x, weight, stride, padding)
     raise ValueError(f"unknown osconv impl {impl}")
+    # the fully-fused Pallas path lives in ops/pallas/osconv_kernel.py and is
+    # invoked from the arch (it consumes raw x + attentions, not the
+    # materialized per-sample weights this signature implies)

@@ -1,0 +1,196 @@
+"""Fused OSConv Pallas kernel: scale-conditioned dynamic conv on the MXU.
+
+Performance path for OSConv2d (reference savsr_arch.py:139-172, the model's
+hottest op, ~22 executions per 7-frame window). The reference materializes
+a ``[B*Cout, Cin, k, k]`` weight and runs a ``groups=B`` conv; the XLA path
+(ops/osconv.py) materializes ``[B,H,W,k*k,Cin]`` im2col patches (9x the
+activation bytes). This kernel does neither:
+
+  - The four attentions fold into the *small* per-sample aggregated weight
+        agg[b,p,i,o] = ca[b,i] * fa[b,o] * sa[b,p] * sum_K ka[b,K] W[K,p,i,o]
+    computed in XLA (a few MFLOPs; negligible) — channel attention scales
+    conv inputs == scaling the weight's Cin axis, filter attention scales
+    outputs == scaling the Cout axis — so activations need zero elementwise
+    work and the conv consumes raw x.
+  - The conv runs as k*k shifted ``[TH*TW, Cin] x [Cin, Cout]`` MXU matmuls
+    per spatial tile over a haloed VMEM tile (each input element read once
+    from HBM; f32 accumulation).
+
+Grid: (B, H/TH, W/TW), row-major; agg[b] is DMA'd into VMEM once per batch
+sample and reused across its spatial tiles.
+
+Backward: custom_vjp delegating to the XLA einsum formulation (identical
+math), so the fused forward is usable in training.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _osconv_kernel(
+    x_ref,       # HBM: [B, Hp + kh-1, W + kw-1, Cin] (pre-padded)
+    agg_ref,     # HBM: [B, P, Cin, Cout] per-sample aggregated weights
+    out_ref,     # VMEM block: [1, TH, W, Cout]
+    x_slab,      # scratch VMEM: [TH + kh-1, W + kw-1, Cin]
+    agg,         # scratch VMEM: [P, Cin, Cout]
+    sems,        # 2 DMA semaphores
+    *,
+    kh: int,
+    kw: int,
+    tile_h: int,
+    w_out: int,
+    cin: int,
+    cout: int,
+):
+    b = pl.program_id(0)
+    th = pl.program_id(1)
+
+    # kw pre-shifted row slabs: all W/halo shifting happens in the (untiled)
+    # HBM slices, so in-kernel indexing only slices the untiled leading dims
+    copies = []
+    for dx in range(kw):
+        c = pltpu.make_async_copy(
+            x_ref.at[b, pl.ds(th * tile_h, tile_h + kh - 1), pl.ds(dx, w_out), :],
+            x_slab.at[dx],
+            sems.at[0],
+        )
+        c.start()
+        copies.append(c)
+
+    # refresh this sample's aggregated weight on its first row slab
+    @pl.when(th == 0)
+    def _():
+        w_copy = pltpu.make_async_copy(agg_ref.at[b], agg, sems.at[1])
+        w_copy.start()
+        w_copy.wait()
+
+    for c in copies:
+        c.wait()
+
+    acc = jnp.zeros((tile_h * w_out, cout), jnp.float32)
+    for dy in range(kh):
+        for dx in range(kw):
+            p = dy * kw + dx
+            window = x_slab[dx, dy : dy + tile_h, :, :].reshape(tile_h * w_out, cin)
+            acc = acc + jax.lax.dot_general(
+                window,
+                agg[p],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+    out_ref[0] = acc.reshape(tile_h, w_out, cout).astype(out_ref.dtype)
+
+
+def _pick_tile_h(w: int, cin: int, cout: int, kh: int, kw: int) -> int:
+    """Largest row count whose kw slabs + accumulator fit ~8MB of VMEM."""
+    for th in (64, 32, 16, 8, 4):
+        slab = kw * (th + kh - 1) * w * cin * 4
+        acc = th * w * cout * 4
+        if slab + acc <= 8 * 1024 * 1024:
+            return th
+    return 4
+
+
+def osconv_pallas_agg(x: jnp.ndarray, agg_weight: jnp.ndarray, padding: int = 1):
+    """Run the row-slab kernel with per-sample weights [B, kh, kw, Cin, Cout]."""
+    b, h, w, cin = x.shape
+    _, kh, kw, _, cout = agg_weight.shape
+    P = kh * kw
+    # sliced HBM DMAs require the (lane-tiled) channel dim to be a multiple
+    # of 128; zero-pad Cin (the zero channels contribute nothing)
+    cpad = (-cin) % 128
+    opad = (-cout) % 128
+    cout_orig = cout
+    if cpad or opad:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, cpad)))
+        agg_weight = jnp.pad(
+            agg_weight, ((0, 0), (0, 0), (0, 0), (0, cpad), (0, opad))
+        )
+        cin = cin + cpad
+        cout = cout + opad
+    tile_h = _pick_tile_h(w, cin, cout, kh, kw)
+    n_rows = pl.cdiv(h, tile_h)
+    grid = (b, n_rows)
+    ph = n_rows * tile_h - h
+    x_pad = jnp.pad(
+        x,
+        (
+            (0, 0),
+            (padding, ph + (kh - 1 - padding)),
+            (padding, (kw - 1 - padding)),
+            (0, 0),
+        ),
+    )
+
+    kernel = functools.partial(
+        _osconv_kernel, kh=kh, kw=kw, tile_h=tile_h, w_out=w, cin=cin, cout=cout
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, tile_h, w, cout),
+            lambda bb, i: (bb, i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, n_rows * tile_h, w, cout), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((kw, tile_h + kh - 1, w, cin), x.dtype),
+            pltpu.VMEM((P, cin, cout), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )(x_pad, agg_weight.reshape(b, P, cin, cout).astype(jnp.float32))
+    return out[:, :h, :, :cout_orig]
+
+
+def _aggregate_weights(weight, ca, fa, sa, ka):
+    """agg[b,p,i,o] with all four attentions folded in (XLA-side)."""
+    K, kh, kw, cin, cout = weight.shape
+    agg = jnp.einsum("bK,Kklio->bklio", ka, weight)
+    agg = agg * sa[:, :, :, None, None]
+    agg = agg * ca[:, None, None, :, None]
+    agg = agg * fa[:, None, None, None, :]
+    return agg
+
+
+def _reference_math(x, weight, ca, fa, sa, ka, padding):
+    from ..osconv import osconv_apply_einsum
+
+    return osconv_apply_einsum(x, _aggregate_weights(weight, ca, fa, sa, ka), 1, padding)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+def osconv_fused(x, weight, ca, fa, sa, ka, padding=1):
+    """Fused OSConv: raw x + shared bank + attentions -> output.
+
+    x [B,H,W,Cin]; weight [K,kh,kw,Cin,Cout]; ca [B,Cin]; fa [B,Cout];
+    sa [B,kh,kw]; ka [B,K]. Stride 1 (all SAVSR instances).
+    """
+    agg = _aggregate_weights(weight, ca, fa, sa, ka)
+    return osconv_pallas_agg(x, agg, padding)
+
+
+def _fwd(x, weight, ca, fa, sa, ka, padding):
+    return osconv_fused(x, weight, ca, fa, sa, ka, padding), (x, weight, ca, fa, sa, ka)
+
+
+def _bwd(padding, residuals, g):
+    x, weight, ca, fa, sa, ka = residuals
+    _, vjp = jax.vjp(
+        lambda *args: _reference_math(*args, padding), x, weight, ca, fa, sa, ka
+    )
+    return vjp(g)
+
+
+osconv_fused.defvjp(_fwd, _bwd)
