@@ -394,3 +394,85 @@ def make_coord(shape: Tuple[int, int], ranges=None, flatten: bool = True):
 def trunc_normal_init(key, shape, mean=0.0, std=1.0, a=-2.0, b=2.0):
     """Truncated normal init (reference arch_util.py:322)."""
     return mean + std * jax.random.truncated_normal(key, a, b, shape, jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# generic SR building blocks (capability parity with arch_util.py:64-450)
+# ---------------------------------------------------------------------------
+
+
+def residual_block_no_bn_init(ic: "InitCtx", prefix: str, num_feat: int = 64,
+                              res_scale_init: float = 0.1) -> None:
+    """Plain 2-conv residual block (reference ResidualBlockNoBN,
+    arch_util.py:64): convs scaled-init by 0.1 when res_scale == 1."""
+    ic.conv(f"{prefix}conv1", 3, 3, num_feat, num_feat)
+    ic.conv(f"{prefix}conv2", 3, 3, num_feat, num_feat)
+    for name in (f"{prefix}conv1.weight", f"{prefix}conv2.weight"):
+        ic.params[name] = ic.params[name] * res_scale_init
+
+
+def residual_block_no_bn_apply(ctx: Ctx, prefix: str, x: jnp.ndarray,
+                               res_scale: float = 1.0) -> jnp.ndarray:
+    y = jax.nn.relu(conv2d(ctx, f"{prefix}conv1", x, padding=1))
+    y = conv2d(ctx, f"{prefix}conv2", y, padding=1)
+    return x + y * res_scale
+
+
+def upsample_pixelshuffle_init(ic: "InitCtx", prefix: str, scale: int, num_feat: int) -> None:
+    """conv + pixel_shuffle upsampler for integer scales 2^n / 3
+    (reference Upsample, arch_util.py:95)."""
+    idx = 0
+    if (scale & (scale - 1)) == 0:  # power of 2
+        n = int(math.log2(scale))
+        for _ in range(n):
+            ic.conv(f"{prefix}{idx}", 3, 3, num_feat, 4 * num_feat)
+            idx += 2  # skip the parameter-free PixelShuffle slots
+    elif scale == 3:
+        ic.conv(f"{prefix}0", 3, 3, num_feat, 9 * num_feat)
+    else:
+        raise ValueError(f"scale {scale} is not supported (2^n and 3 only).")
+
+
+def upsample_pixelshuffle_apply(ctx: Ctx, prefix: str, x: jnp.ndarray, scale: int) -> jnp.ndarray:
+    if (scale & (scale - 1)) == 0:
+        idx = 0
+        for _ in range(int(math.log2(scale))):
+            x = conv2d(ctx, f"{prefix}{idx}", x, padding=1)
+            x = pixel_shuffle(x, 2)
+            idx += 2
+        return x
+    if scale == 3:
+        x = conv2d(ctx, f"{prefix}0", x, padding=1)
+        return pixel_shuffle(x, 3)
+    raise ValueError(f"scale {scale} is not supported (2^n and 3 only).")
+
+
+def dynamic_conv2d_init(ic: "InitCtx", prefix: str, in_planes: int, out_planes: int,
+                        kernel_size: int = 3, K: int = 5) -> None:
+    """Vanilla dynamic convolution bank + input-conditioned softmax routing
+    (DASR's Dynamic_conv2d, reference arch_util.py:369-450)."""
+    att = max(in_planes // 4, 16)
+    ic.conv(f"{prefix}attention.fc1", 1, 1, in_planes, att)
+    ic.conv(f"{prefix}attention.fc2", 1, 1, att, K)
+    bank = jnp.stack([
+        kaiming_uniform(ic.next_key(), (kernel_size, kernel_size, in_planes, out_planes))
+        for _ in range(K)
+    ])
+    ic.raw(f"{prefix}weight", bank)
+    ic.raw(f"{prefix}bias", jnp.zeros((K, out_planes), jnp.float32))
+
+
+def dynamic_conv2d_apply(ctx: Ctx, prefix: str, x: jnp.ndarray, padding: int = 1,
+                         temperature: float = 30.0) -> jnp.ndarray:
+    from ..ops.osconv import osconv_apply_einsum
+
+    att = adaptive_avg_pool_11(x)  # [B, Cin]
+    w1 = ctx[f"{prefix}attention.fc1.weight"][0, 0]
+    att = jax.nn.relu(att @ w1 + ctx[f"{prefix}attention.fc1.bias"])
+    w2 = ctx[f"{prefix}attention.fc2.weight"][0, 0]
+    att = jax.nn.softmax((att @ w2 + ctx[f"{prefix}attention.fc2.bias"]) / temperature, axis=1)
+    bank = ctx[f"{prefix}weight"]  # [K, kh, kw, I, O]
+    agg = jnp.einsum("bK,Kklio->bklio", att, bank)
+    bias = jnp.einsum("bK,Ko->bo", att, ctx[f"{prefix}bias"])
+    y = osconv_apply_einsum(x, agg, 1, padding)
+    return y + bias[:, None, None, :]

@@ -176,6 +176,40 @@ class SRModel(BaseModel):
         scale = tuple(self.scale) if isinstance(self.scale, (tuple, list)) else (self.scale, self.scale)
         self.output = self._forward_eval(params, self.lq, scale)
 
+    def test_selfensemble(self) -> None:
+        """x8 geometric self-ensemble (reference sr_model.py:141-187): run
+        the forward on all flip/transpose variants, invert the transforms on
+        the outputs, average. Transposition swaps the scale axes."""
+        params = self.params_ema if self.params_ema is not None else self.params
+        scale = tuple(self.scale) if isinstance(self.scale, (tuple, list)) else (self.scale, self.scale)
+        lq = np.asarray(self.lq)
+        h_ax, w_ax = lq.ndim - 3, lq.ndim - 2
+
+        variants = []
+        for tf in ("identity", "h", "v", "hv"):
+            a = lq
+            if "h" in tf:
+                a = np.flip(a, axis=w_ax)
+            if "v" in tf:
+                a = np.flip(a, axis=h_ax)
+            variants.append((tf, False, np.ascontiguousarray(a)))
+        for tf, _, a in list(variants):
+            variants.append((tf, True, np.ascontiguousarray(np.swapaxes(a, h_ax, w_ax))))
+
+        outputs = []
+        for tf, transposed, a in variants:
+            s = (scale[1], scale[0]) if transposed else scale
+            out = np.asarray(self._forward_eval(params, jnp.asarray(a), s))
+            oh, ow = out.ndim - 3, out.ndim - 2
+            if transposed:
+                out = np.swapaxes(out, oh, ow)
+            if "v" in tf:
+                out = np.flip(out, axis=oh)
+            if "h" in tf:
+                out = np.flip(out, axis=ow)
+            outputs.append(out)
+        self.output = jnp.asarray(np.mean(np.stack(outputs, 0), axis=0))
+
     def get_current_visuals(self) -> "OrderedDict":
         """lq / result / gt as host numpy; arbitrary-scale BI post-process:
         if output and gt shapes differ, bicubic-resize (antialiased) the
