@@ -204,11 +204,16 @@ class ASVimeo90KDataset(Vimeo90KDataset):
         b, t, h, w, c = gt.shape
         gt = single_random_crop(gt.reshape(b * t, h, w, c), gt_size)
         gt = gt.reshape(b, t, *gt.shape[1:])
-        lq = arbitrary_scale_downsample(
-            gt, (scale_h, scale_w), self.opt.get("downsample_mode", "torch")
-        )
         out["gt"] = gt[:, t // 2]
-        out["lq"] = np.ascontiguousarray(lq)
+        if self.opt.get("degrade_on_device", False):
+            # ship the cropped GT window; the jitted train step performs the
+            # bicubic-matmul downsample on device (models/sr_model.py)
+            out["lq"] = np.ascontiguousarray(gt)
+        else:
+            lq = arbitrary_scale_downsample(
+                gt, (scale_h, scale_w), self.opt.get("downsample_mode", "torch")
+            )
+            out["lq"] = np.ascontiguousarray(lq)
         out["scale"] = (scale_h, scale_w)
         return out
 

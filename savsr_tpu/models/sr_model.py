@@ -116,7 +116,26 @@ class SRModel(BaseModel):
 
     def _loss_fn(self, trainable, stats, lq, gt, scale):
         params = {**trainable, **stats}
+        # bf16 compute with f32 master params: the AMP analogue of the
+        # reference's autocast+GradScaler (asvsr_model.py:79,93,118-120) —
+        # no loss scaling needed, bf16 shares f32's exponent range
+        if self.opt.get("train", {}).get("bf16", False):
+            params = {
+                k: v.astype(jnp.bfloat16) if v.dtype == jnp.float32 else v
+                for k, v in params.items()
+            }
+            lq = lq.astype(jnp.bfloat16)
+        if self.opt.get("train", {}).get("degrade_on_device", False):
+            # on-the-fly asBI degradation inside the jitted step: the host
+            # only crops GT; the bicubic-matmul downsample runs on the MXU
+            from ..data.resize import resize_jax
+
+            gt_seq = lq  # feed_data passed the GT sequence in the lq slot
+            h, w = gt_seq.shape[-3], gt_seq.shape[-2]
+            size = (round(h / scale[0]), round(w / scale[1]))
+            lq = resize_jax(gt_seq, size, mode=self.opt["train"].get("downsample_mode", "torch"))
         output, stats_updates = self.net_g.apply(params, lq, scale, train=True)
+        output = output.astype(jnp.float32)
         losses = {}
         total = 0.0
         if self.cri_pix is not None:

@@ -206,6 +206,60 @@ def test_train_pipeline_smoke(vimeo_root, tmp_path):
     model.resume_training(state)
 
 
+def test_train_bf16_device_degrade(vimeo_root, tmp_path):
+    """AMP-analog bf16 compute + on-device asBI degradation path."""
+    from savsr_tpu.data import build_dataloader, build_dataset
+    from savsr_tpu.models import build_model
+
+    gt_root, meta = vimeo_root
+    ds_opt = {
+        "name": "Vimeo90K_tiny_dd",
+        "type": "ASVimeo90KDataset",
+        "dataroot_gt": gt_root,
+        "dataroot_lq": gt_root,
+        "meta_info_file": meta,
+        "io_backend": {"type": "disk"},
+        "num_frame": 7,
+        "lq_size": 12,
+        "max_scale": 4,
+        "downsample_mode": "torch",
+        "degrade_on_device": True,
+        "single_scale_ft": True,
+        "random_reverse": False,
+        "use_hflip": False,
+        "use_rot": False,
+        "batch_size_per_gpu": 1,
+        "phase": "train",
+        "scale": (2.0, 2.0),
+    }
+    dataset = build_dataset(ds_opt)
+    loader = build_dataloader(dataset, ds_opt, sampler=None, seed=0)
+
+    opt = _eval_opt(gt_root, tmp_path)
+    opt["is_train"] = True
+    opt["path"]["experiments_root"] = str(tmp_path / "exp2")
+    opt["path"]["models"] = str(tmp_path / "exp2" / "models")
+    opt["path"]["training_states"] = str(tmp_path / "exp2" / "training_states")
+    opt["train"] = {
+        "ema_decay": 0,
+        "bf16": True,
+        "degrade_on_device": True,
+        "downsample_mode": "torch",
+        "optim_g": {"type": "Adam", "lr": 1e-4, "weight_decay": 0, "betas": [0.9, 0.999]},
+        "scheduler": {"type": "constant"},
+        "total_iter": 4,
+        "warmup_iter": -1,
+        "pixel_opt": {"type": "CharbonnierLoss", "loss_weight": 1.0, "reduction": "mean"},
+    }
+    model = build_model(opt)
+    batch = next(iter(loader))
+    assert batch["lq"].shape == (1, 7, 24, 24, 3)  # GT window, not yet degraded
+    model.update_learning_rate(1)
+    model.feed_data(batch)
+    model.optimize_parameters(1)
+    assert np.isfinite(model.log_dict["l_pix"])
+
+
 def test_scheduler_values():
     from savsr_tpu.models.lr_scheduler import cosine_annealing_restart_lr
 
