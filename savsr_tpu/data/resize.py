@@ -172,6 +172,16 @@ def resize_np(
     mw = bicubic_weight_matrix(
         w, W, mode, antialias, None if scale is None else scale[1], np.float64
     )
+    if img.dtype == np.float32:
+        # native multithreaded path (savsr_tpu/csrc); ~1e-6 off the f64
+        # reference, far below any metric tolerance
+        from ..csrc.build import resample_native
+
+        lead = img.shape[:-3]
+        flat = img.reshape((-1,) + img.shape[-3:])
+        out = resample_native(flat, mh.astype(np.float32), mw.astype(np.float32))
+        if out is not None:
+            return out.reshape(lead + out.shape[1:])
     out = np.einsum("Hh,...hwc->...Hwc", mh, img.astype(np.float64), optimize=True)
     out = np.einsum("Ww,...hwc->...hWc", mw, out, optimize=True)
     return out.astype(img.dtype)
