@@ -181,12 +181,12 @@ def batch_norm(
         # torch normalizes with biased variance but tracks unbiased
         n = int(np.prod([x.shape[a] for a in axis]))
         unbiased = var * (n / max(n - 1, 1))
-        ctx.stats_updates[f"{name}.running_mean"] = (
-            (1 - momentum) * ctx[f"{name}.running_mean"] + momentum * mean
-        )
-        ctx.stats_updates[f"{name}.running_var"] = (
-            (1 - momentum) * ctx[f"{name}.running_var"] + momentum * unbiased
-        )
+        # chain across repeated applications of a weight-shared module (the
+        # temporal loop calls each BN several times per step, like torch)
+        rm = ctx.stats_updates.get(f"{name}.running_mean", ctx[f"{name}.running_mean"])
+        rv = ctx.stats_updates.get(f"{name}.running_var", ctx[f"{name}.running_var"])
+        ctx.stats_updates[f"{name}.running_mean"] = (1 - momentum) * rm + momentum * mean
+        ctx.stats_updates[f"{name}.running_var"] = (1 - momentum) * rv + momentum * unbiased
     else:
         mean = ctx[f"{name}.running_mean"]
         var = ctx[f"{name}.running_var"]

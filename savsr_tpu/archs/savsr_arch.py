@@ -633,25 +633,52 @@ def _savsr_apply_inner(
 
     ht_f2p = jnp.zeros((b, hp, wp, cfg.num_feat), dtype=x.dtype)
     ht_p2f = jnp.zeros_like(ht_f2p)
-    h_f2p_list: List[jnp.ndarray] = [None] * n_iter
-    h_p2f_list: List[jnp.ndarray] = []
-    # sequential bidirectional propagation (savsr_arch.py:708-719); the loop
-    # is unrolled (n_iter is 5 for the shipped config) — weights are shared
-    # across iterations, so XLA still emits one fused program per unit.
-    for idx in range(n_iter):
-        cur_t = cfg.iter_win - 1 - half - idx
-        it = x_backward[:, cur_t - half : cur_t + half + 1]
-        ht_f2p = window_l1_apply(ctx, "f2p_win.", it, ht_f2p, scale, cfg.w1_num_block, impl)
-        h_f2p_list[n_iter - 1 - idx] = ht_f2p
+    # sequential bidirectional propagation (savsr_arch.py:708-719); weights
+    # are shared across the n_iter steps. In eval we roll the loop into a
+    # lax.scan (one program copy -> ~n_iter x smaller HLO / faster compile);
+    # in training it stays unrolled so chained BatchNorm running-stat
+    # updates thread through Ctx.
+    if train:
+        h_f2p_list: List[jnp.ndarray] = [None] * n_iter
+        h_p2f_list: List[jnp.ndarray] = []
+        for idx in range(n_iter):
+            cur_t = cfg.iter_win - 1 - half - idx
+            it = x_backward[:, cur_t - half : cur_t + half + 1]
+            ht_f2p = window_l1_apply(ctx, "f2p_win.", it, ht_f2p, scale, cfg.w1_num_block, impl)
+            h_f2p_list[n_iter - 1 - idx] = ht_f2p
 
-        cur_t = idx + half
-        it = x_forward[:, cur_t - half : cur_t + half + 1]
-        ht_p2f = window_l1_apply(ctx, "p2f_win.", it, ht_p2f, scale, cfg.w1_num_block, impl)
-        h_p2f_list.append(ht_p2f)
+            cur_t = idx + half
+            it = x_forward[:, cur_t - half : cur_t + half + 1]
+            ht_p2f = window_l1_apply(ctx, "p2f_win.", it, ht_p2f, scale, cfg.w1_num_block, impl)
+            h_p2f_list.append(ht_p2f)
+        h_feat = [
+            jnp.concatenate([h_f2p_list[i], h_p2f_list[i]], axis=-1)
+            for i in range(n_iter)
+        ]
+    else:
+        wins_b = jnp.stack(
+            [
+                x_backward[:, cfg.iter_win - 1 - 2 * half - idx : cfg.iter_win - idx]
+                for idx in range(n_iter)
+            ]
+        )
+        wins_f = jnp.stack(
+            [x_forward[:, idx : idx + cfg.slid_win] for idx in range(n_iter)]
+        )
 
-    h_feat = [
-        jnp.concatenate([h_f2p_list[i], h_p2f_list[i]], axis=-1) for i in range(n_iter)
-    ]
+        def body(carry, xs):
+            hf, hp_ = carry
+            it_b, it_f = xs
+            hf = window_l1_apply(ctx, "f2p_win.", it_b, hf, scale, cfg.w1_num_block, impl)
+            hp_ = window_l1_apply(ctx, "p2f_win.", it_f, hp_, scale, cfg.w1_num_block, impl)
+            return (hf, hp_), (hf, hp_)
+
+        _, (hf_seq, hp_seq) = jax.lax.scan(body, (ht_f2p, ht_p2f), (wins_b, wins_f))
+        # f2p outputs were produced from the future end backwards
+        h_feat = [
+            jnp.concatenate([hf_seq[n_iter - 1 - i], hp_seq[i]], axis=-1)
+            for i in range(n_iter)
+        ]
     n_l2 = (cfg.iter_win - cfg.fusion_win + 1) // 2
     for i in range(n_l2):
         h_feat = window_l2_apply(
