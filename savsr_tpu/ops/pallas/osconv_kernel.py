@@ -35,7 +35,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _osconv_kernel(
-    x_ref,       # HBM: [B, Hp + kh-1, W + kw-1, Cin] (pre-padded)
+    x_ref,       # HBM: [kw, B, Hp + kh-1, W, Cin] (pre-padded, pre-shifted)
     agg_ref,     # HBM: [B, P, Cin, Cout] per-sample aggregated weights
     out_ref,     # VMEM block: [1, TH, W, Cout]
     x_slab,      # scratch VMEM: [TH + kh-1, W + kw-1, Cin]
@@ -52,12 +52,12 @@ def _osconv_kernel(
     b = pl.program_id(0)
     th = pl.program_id(1)
 
-    # kw pre-shifted row slabs: all W/halo shifting happens in the (untiled)
-    # HBM slices, so in-kernel indexing only slices the untiled leading dims
+    # kw pre-shifted row slabs (shift views stacked by XLA on dim 0): the
+    # DMA slices only untiled leading dims, valid for any dtype tiling
     copies = []
     for dx in range(kw):
         c = pltpu.make_async_copy(
-            x_ref.at[b, pl.ds(th * tile_h, tile_h + kh - 1), pl.ds(dx, w_out), :],
+            x_ref.at[dx, b, pl.ds(th * tile_h, tile_h + kh - 1), :, :],
             x_slab.at[dx],
             sems.at[0],
         )
@@ -128,6 +128,9 @@ def osconv_pallas_agg(x: jnp.ndarray, agg_weight: jnp.ndarray, padding: int = 1)
             (0, 0),
         ),
     )
+    # stack the kw horizontal shifts in XLA (one cheap HBM copy) so the
+    # kernel's DMAs never slice a tiled dimension
+    x_shifts = jnp.stack([x_pad[:, :, dx : dx + w, :] for dx in range(kw)], axis=0)
 
     kernel = functools.partial(
         _osconv_kernel, kh=kh, kw=kw, tile_h=tile_h, w_out=w, cin=cin, cout=cout
@@ -150,7 +153,7 @@ def osconv_pallas_agg(x: jnp.ndarray, agg_weight: jnp.ndarray, padding: int = 1)
             pltpu.VMEM((P, cin, cout), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
-    )(x_pad, agg_weight.reshape(b, P, cin, cout).astype(jnp.float32))
+    )(x_shifts, agg_weight.reshape(b, P, cin, cout).astype(jnp.float32))
     return out[:, :h, :, :cout_orig]
 
 
