@@ -86,6 +86,9 @@ def main():
     times = []
     for i in range(1, TRIALS + 1):
         windows = make(i)
+        # force the host->device upload to finish before timing (the relay
+        # defers transfers; a dependent scalar fetch flushes them)
+        float(windows.astype(jnp.float32).mean())
         t0 = time.perf_counter()
         float(fwd_many(params, windows))  # scalar fetch forces execution
         times.append(time.perf_counter() - t0)
