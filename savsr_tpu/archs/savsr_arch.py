@@ -20,6 +20,7 @@ Structure (reference anchors):
 
 from __future__ import annotations
 
+import functools
 import math
 from dataclasses import dataclass
 from typing import Dict, List, Sequence, Tuple
@@ -544,6 +545,10 @@ class SAVSRConfig:
     # 'float32' reproduces the reference bit-for-bit-ish; 'bfloat16'/'default'
     # unlocks full-rate MXU matmuls for the perf path.
     matmul_precision: str = "float32"
+    # rematerialize per-module in the training forward (jax.checkpoint):
+    # trades ~30% extra FLOPs for activation memory, required for the
+    # shipped batch-16 recipe on a 16GB chip
+    remat_train: bool = True
 
     @property
     def center(self) -> int:
@@ -638,6 +643,28 @@ def savsr_apply(
         return _savsr_apply_inner(params, x, scale, cfg, train)
 
 
+def _ckpt_call(ctx: Ctx, fn, *args, remat: bool):
+    """Run ``fn(ctx', *args) -> out`` as a jax.checkpoint segment in training.
+
+    BN running-stat updates accumulated so far are folded into the params the
+    segment sees (preserving chained updates), and the segment's own updates
+    are merged back into the outer ctx.
+    """
+    if not (ctx.train and remat):
+        return fn(ctx, *args)
+
+    base_params = ctx.params
+
+    def wrapped(params, updates, args):
+        inner = Ctx({**params, **updates}, train=True)
+        out = fn(inner, *args)
+        return out, inner.stats_updates
+
+    out, updates = jax.checkpoint(wrapped)(base_params, dict(ctx.stats_updates), args)
+    ctx.stats_updates.update(updates)
+    return out
+
+
 def _savsr_apply_inner(
     params: Params, x: jnp.ndarray, scale: Scale, cfg: SAVSRConfig, train: bool = False
 ):
@@ -667,15 +694,25 @@ def _savsr_apply_inner(
     if train:
         h_f2p_list: List[jnp.ndarray] = [None] * n_iter
         h_p2f_list: List[jnp.ndarray] = []
+
+        def _w1(c, name, it, ht):
+            return window_l1_apply(c, name, it, ht, scale, cfg.w1_num_block, impl)
+
         for idx in range(n_iter):
             cur_t = cfg.iter_win - 1 - half - idx
             it = x_backward[:, cur_t - half : cur_t + half + 1]
-            ht_f2p = window_l1_apply(ctx, "f2p_win.", it, ht_f2p, scale, cfg.w1_num_block, impl)
+            ht_f2p = _ckpt_call(
+                ctx, lambda c, a, b_: _w1(c, "f2p_win.", a, b_), it, ht_f2p,
+                remat=cfg.remat_train,
+            )
             h_f2p_list[n_iter - 1 - idx] = ht_f2p
 
             cur_t = idx + half
             it = x_forward[:, cur_t - half : cur_t + half + 1]
-            ht_p2f = window_l1_apply(ctx, "p2f_win.", it, ht_p2f, scale, cfg.w1_num_block, impl)
+            ht_p2f = _ckpt_call(
+                ctx, lambda c, a, b_: _w1(c, "p2f_win.", a, b_), it, ht_p2f,
+                remat=cfg.remat_train,
+            )
             h_p2f_list.append(ht_p2f)
         h_feat = [
             jnp.concatenate([h_f2p_list[i], h_p2f_list[i]], axis=-1)
@@ -719,17 +756,29 @@ def _savsr_apply_inner(
     # reconstruction trunk with scale-adaptive residual adapters
     share_source = h_feat
     gamma = ctx["gamma"].astype(x.dtype)
+
+    def _group(c, h, name_rg, name_ad):
+        h = residual_group_apply(c, name_rg, h, cfg.n_resblocks)
+        return osadapt_apply(c, name_ad, h, scale, impl)
+
     for i in range(cfg.n_resgroups):
-        h_feat = residual_group_apply(ctx, f"RG.{i}.", h_feat, cfg.n_resblocks)
-        h_feat = osadapt_apply(ctx, f"adapt.{i}.", h_feat, scale, impl)
+        h_feat = _ckpt_call(
+            ctx,
+            functools.partial(_group, name_rg=f"RG.{i}.", name_ad=f"adapt.{i}."),
+            h_feat,
+            remat=cfg.remat_train,
+        )
         h_feat = h_feat + gamma * share_source
     h_feat = conv2d(ctx, "conv_last", h_feat, padding=1)
     h_feat = h_feat + share_source
 
     # arbitrary-scale upsampling on the un-padded region
-    sr = stau_apply(
-        ctx, "upsample.", h_feat[:, :h_input, :w_input], scale,
-        align_feat[:, :h_input, :w_input], cfg.num_feat,
+    def _stau(c, h, a):
+        return stau_apply(c, "upsample.", h, scale, a, cfg.num_feat)
+
+    sr = _ckpt_call(
+        ctx, _stau, h_feat[:, :h_input, :w_input],
+        align_feat[:, :h_input, :w_input], remat=cfg.remat_train,
     )
     sr = conv2d(ctx, "tail", sr, padding=1)
     sr = sr + interpolate_bilinear(x_center, (H, W), align_corners=False)

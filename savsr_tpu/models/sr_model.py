@@ -146,10 +146,15 @@ class SRModel(BaseModel):
         return total, (losses, stats_updates, output)
 
     @functools.partial(jax.jit, static_argnames=("self", "scale"))
-    def _train_step(self, trainable, stats, ema, opt_state, lq, gt, lr, scale):
+    def _train_step(self, trainable, stats, ema, opt_state, lq, gt, lr, scale,
+                    grad_factors=None):
         (_, (losses, stats_updates, _)), grads = jax.value_and_grad(
             self._loss_fn, has_aux=True
         )(trainable, stats, lq, gt, scale)
+        if grad_factors is not None:
+            # per-parameter gradient scaling (flow freeze / flow_lr_mul,
+            # reference video_recurrent_model.py:23-65)
+            grads = {k: g * grad_factors.get(k, 1.0) for k, g in grads.items()}
         updates, opt_state = self.optimizer_g.update(grads, opt_state, trainable)
         updates = jax.tree_util.tree_map(lambda u: u * lr, updates)
         trainable = jax.tree_util.tree_map(lambda p, u: p + u, trainable, updates)
@@ -167,9 +172,12 @@ class SRModel(BaseModel):
         trainable, stats = split_params(self.params)
         ema = self.params_ema if self.ema_decay > 0 else None
         scale = tuple(self.scale) if isinstance(self.scale, (tuple, list)) else (self.scale, self.scale)
+        grad_factors = getattr(self, "_flow_factors", None)
+        if grad_factors is not None:
+            grad_factors = {k: jnp.float32(v) for k, v in grad_factors.items()}
         trainable, stats, ema, self.opt_state, losses = self._train_step(
             trainable, stats, ema, self.opt_state, self.lq, self.gt,
-            jnp.float32(lr), scale,
+            jnp.float32(lr), scale, grad_factors,
         )
         self.params = {**trainable, **stats}
         if ema is not None:

@@ -53,7 +53,8 @@ class VideoRecurrentModel(VideoBaseModel):
         return {k: factor(k) for k in trainable}
 
     def optimize_parameters(self, current_iter):
-        self._flow_factors = self._grad_mask(split_params(self.params)[0], current_iter)
+        factors = self._grad_mask(split_params(self.params)[0], current_iter)
+        self._flow_factors = factors if any(v != 1.0 for v in factors.values()) else None
         super().optimize_parameters(current_iter)
 
     def test(self):
