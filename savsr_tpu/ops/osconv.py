@@ -67,6 +67,27 @@ def osconv_apply_grouped(
     return jnp.transpose(y.reshape(ho, wo, b, co), (2, 0, 1, 3))
 
 
+def osconv_apply_batchgroup(
+    x: jnp.ndarray, weight: jnp.ndarray, stride: int = 1, padding: int = 0
+) -> jnp.ndarray:
+    """batch_group_count formulation: XLA's native per-sample-weight conv
+    (the primitive behind grouped-conv weight gradients)."""
+    b, h, w_, ci = x.shape
+    _, kh, kw, _, co = weight.shape
+    wg = jnp.transpose(weight, (1, 2, 3, 0, 4)).reshape(kh, kw, ci, b * co)
+    y = lax.conv_general_dilated(
+        x,
+        wg,
+        window_strides=(stride, stride),
+        padding=((padding, padding), (padding, padding)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        batch_group_count=b,
+    )
+    # output: [1, Ho, Wo, B*Cout], feature blocks per batch group
+    ho, wo = y.shape[1], y.shape[2]
+    return jnp.transpose(y.reshape(ho, wo, b, co), (2, 0, 1, 3))
+
+
 def osconv_apply(
     x: jnp.ndarray,
     weight: jnp.ndarray,
@@ -78,6 +99,8 @@ def osconv_apply(
         return osconv_apply_einsum(x, weight, stride, padding)
     if impl == "grouped":
         return osconv_apply_grouped(x, weight, stride, padding)
+    if impl == "batchgroup":
+        return osconv_apply_batchgroup(x, weight, stride, padding)
     raise ValueError(f"unknown osconv impl {impl}")
     # the fully-fused Pallas path lives in ops/pallas/osconv_kernel.py and is
     # invoked from the arch (it consumes raw x + attentions, not the
