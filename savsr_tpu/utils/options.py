@@ -166,8 +166,9 @@ def parse_options(
         if "debug" in opt["name"]:
             if "val" in opt:
                 opt["val"]["val_freq"] = 8
-            opt["logger"]["print_freq"] = 1
-            opt["logger"]["save_checkpoint_freq"] = 8
+            if "logger" in opt:
+                opt["logger"]["print_freq"] = 1
+                opt["logger"]["save_checkpoint_freq"] = 8
     else:
         results_root = opt["path"].get("results_root")
         if results_root is None:
