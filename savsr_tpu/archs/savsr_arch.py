@@ -390,29 +390,6 @@ def residual_block_init(ic: InitCtx, prefix: str, num_feat: int, num_frame: int,
         ic.conv(f"{prefix}conv2.{i}", 3, 3, num_feat * 2, num_feat)
 
 
-def _multi_conv_grouped(
-    ctx: Ctx, names: List[str], xs: List[jnp.ndarray], padding: int = 1
-) -> List[jnp.ndarray]:
-    """Apply n independent convs (same shape, different weights) as ONE
-    grouped conv over channel-concatenated inputs — identical math, n-fold
-    wider MXU work (important at batch 1 / 64 channels)."""
-    from jax import lax
-
-    n = len(names)
-    x = jnp.concatenate(xs, axis=-1)
-    w = jnp.concatenate(
-        [ctx[f"{name}.weight"].astype(x.dtype) for name in names], axis=-1
-    )
-    y = lax.conv_general_dilated(
-        x, w, (1, 1), ((padding, padding), (padding, padding)),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=n,
-    )
-    b = jnp.concatenate([ctx[f"{name}.bias"].astype(y.dtype) for name in names])
-    y = y + b
-    co = y.shape[-1] // n
-    return [y[..., i * co : (i + 1) * co] for i in range(n)]
-
-
 def residual_block_apply(
     ctx: Ctx, prefix: str, feats: List[jnp.ndarray], scale: Scale,
     use_osconv: bool, impl: str = "einsum",
