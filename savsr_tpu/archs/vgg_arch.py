@@ -9,7 +9,7 @@ extractor still runs (random init) for shape/smoke purposes.
 
 from __future__ import annotations
 
-from typing import Dict, List, Sequence
+from typing import Dict, Sequence
 
 import jax
 import jax.numpy as jnp

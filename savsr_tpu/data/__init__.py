@@ -9,7 +9,6 @@ the process-strided sampler, and a dataset-provided ``as_collate_fn`` hook
 from __future__ import annotations
 
 from copy import deepcopy
-from functools import partial
 
 from ..utils.dist_util import get_dist_info
 from ..utils.logger import get_root_logger

@@ -7,10 +7,9 @@ channel-last numpy; video stacks are [T, H, W, C].
 
 from __future__ import annotations
 
-import math
 import os
 from os import path as osp
-from typing import List, Optional, Tuple, Union
+from typing import List, Tuple, Union
 
 import numpy as np
 

@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import random
 from math import floor
-from typing import List, Sequence, Tuple, Union
+from typing import List, Tuple, Union
 
 import numpy as np
 

@@ -11,7 +11,6 @@ from __future__ import annotations
 
 import math
 
-from ..utils.logger import get_root_logger
 from ..utils.registry import MODEL_REGISTRY
 from .video_base_model import VideoBaseModel
 from .video_recurrent_model import ASVideoRecurrentModel

@@ -11,10 +11,8 @@ all-reduce from shardings. Checkpoint artifacts keep the reference's shape:
 
 from __future__ import annotations
 
-import os
 import pickle
 import time
-from copy import deepcopy
 from os import path as osp
 from typing import Callable, Dict, Optional
 

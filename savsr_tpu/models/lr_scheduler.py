@@ -9,9 +9,8 @@ from __future__ import annotations
 
 import math
 from bisect import bisect_right
-from typing import Callable, List, Sequence
+from typing import Callable, Sequence
 
-import jax.numpy as jnp
 import numpy as np
 
 

@@ -10,10 +10,9 @@ all-reduce.
 from __future__ import annotations
 
 import functools
-import os
 from collections import OrderedDict
 from os import path as osp
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import jax.numpy as jnp
@@ -27,7 +26,7 @@ from ..parallel.mesh import replicate, shard_or_replicate_batch
 from ..utils.img_util import array2img, imwrite
 from ..utils.logger import get_root_logger
 from ..utils.registry import MODEL_REGISTRY
-from .base_model import BaseModel, is_trainable_key, split_params
+from .base_model import BaseModel, split_params
 
 
 @MODEL_REGISTRY.register()

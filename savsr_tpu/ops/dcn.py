@@ -17,12 +17,10 @@ Offset layout (our convention, documented for all callers):
 from __future__ import annotations
 
 import math
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
-
 
 def _bilinear_gather(x: jnp.ndarray, fy: jnp.ndarray, fx: jnp.ndarray) -> jnp.ndarray:
     """Sample x [B,h,w,C] at float coords (fy, fx) [B,H,W]; zeros outside."""

@@ -26,7 +26,6 @@ math), so the fused forward is usable in training.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -8,7 +8,7 @@ backend is gated on the ``lmdb`` package being importable.
 from __future__ import annotations
 
 from abc import ABCMeta, abstractmethod
-from typing import Dict, Optional, Union
+from typing import Dict, Optional
 
 
 class BaseStorageBackend(metaclass=ABCMeta):

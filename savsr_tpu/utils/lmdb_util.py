@@ -5,7 +5,6 @@ Gated on the ``lmdb`` package; used by scripts/data_preparation/create_lmdb.py.
 
 from __future__ import annotations
 
-import os
 import sys
 from multiprocessing import Pool
 from os import path as osp
