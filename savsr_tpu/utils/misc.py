@@ -101,7 +101,7 @@ def check_resume(opt: dict, resume_iter: int) -> None:
             network not in opt["path"]["ignore_resume_networks"]
         ):
             opt["path"][name] = osp.join(
-                opt["path"]["models"], f"net_{basename}_{resume_iter}"
+                opt["path"]["models"], f"net_{basename}_{resume_iter}.npz"
             )
             print(f"Set {name} to {opt['path'][name]}", flush=True)
     # EMA params must not be loaded into the raw net when resuming mid-run

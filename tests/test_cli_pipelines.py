@@ -180,3 +180,11 @@ logger:
     # config copy with provenance header
     copied = exp / "train_cfg.yml"
     assert copied.is_file() and copied.read_text().startswith("# GENERATE TIME")
+
+    # --auto_resume picks up 2.state and continues to total_iter=4
+    cfg4 = tmp_path / "train_cfg4.yml"
+    cfg4.write_text(yml.replace("total_iter: 2", "total_iter: 4"))
+    monkeypatch.setattr("sys.argv", ["train.py", "-opt", str(cfg4), "--auto_resume"])
+    train_pipeline(str(tmp_path))
+    assert (exp / "models" / "net_g_4.npz").is_file()
+    assert (exp / "training_states" / "4.state").is_file()
