@@ -1,0 +1,61 @@
+"""Training-gradient parity vs the reference (SURVEY.md §7 gate 5):
+Charbonnier loss + backward through the small SAVSR on a fixed batch must
+produce the same loss value and per-parameter gradients."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from savsr_tpu.archs.savsr_arch import SAVSR
+from savsr_tpu.models.base_model import split_params
+from savsr_tpu.utils.convert import convert_state_dict
+
+GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "goldens")
+
+SMALL_CFG = dict(
+    num_in_ch=3, num_feat=16, num_frame=7, slid_win=3, fusion_win=5,
+    interval=0, w1_num_block=2, w2_num_block=1, n_resgroups=1, n_resblocks=2,
+)
+
+
+@pytest.mark.parametrize("remat", [False, True])
+def test_gradient_parity(remat):
+    grad_path = os.path.join(GOLDEN_DIR, "savsr_small_grads.npz")
+    state_path = os.path.join(GOLDEN_DIR, "savsr_small_state.npz")
+    if not (os.path.isfile(grad_path) and os.path.isfile(state_path)):
+        pytest.skip("gradient goldens not generated")
+
+    golden = np.load(grad_path)
+    params = {
+        k: jnp.asarray(v)
+        for k, v in convert_state_dict(dict(np.load(state_path))).items()
+    }
+    lq = jnp.asarray(golden["lq"].transpose(0, 1, 3, 4, 2))  # NTCHW -> NTHWC
+    gt = jnp.asarray(golden["gt"].transpose(0, 2, 3, 1))
+
+    model = SAVSR(**SMALL_CFG, remat_train=remat)
+    trainable, stats = split_params(params)
+
+    def loss_fn(tr):
+        sr, _ = model.apply({**tr, **stats}, lq, (2.0, 2.0), train=True)
+        return jnp.sqrt((sr - gt) ** 2 + 1e-12).mean()
+
+    loss, grads = jax.jit(jax.value_and_grad(loss_fn))(trainable)
+    assert abs(float(loss) - float(golden["loss"])) < 1e-5
+
+    ref_grads = convert_state_dict(
+        {k[2:]: golden[k] for k in golden.files if k.startswith("g/")}
+    )
+    assert set(ref_grads.keys()) == set(grads.keys())
+    worst_key, worst = None, 0.0
+    for k, ref in ref_grads.items():
+        ours = np.asarray(grads[k])
+        scale = np.abs(ref).max() + 1e-6
+        err = np.abs(ours - ref).max() / scale
+        if err > worst:
+            worst_key, worst = k, err
+    assert worst < 2e-3, (worst_key, worst)

@@ -233,9 +233,44 @@ def gen_module_goldens():
     print("module goldens written")
 
 
+def gen_gradient_golden():
+    """Charbonnier-loss gradients of the small reference SAVSR on a fixed
+    batch — the training-parity gate (SURVEY.md §7 step 5)."""
+    import torch
+
+    _install_lbasicsr_stubs()
+    ref_arch = _load_module(os.path.join(REF, "lbasicsr/archs/savsr_arch.py"), "ref_savsr")
+
+    torch.manual_seed(77)
+    model = ref_arch.SAVSR(
+        num_in_ch=3, num_feat=16, num_frame=7, slid_win=3, fusion_win=5,
+        interval=0, w1_num_block=2, w2_num_block=1, n_resgroups=1, n_resblocks=2,
+    )
+    model.train()
+
+    rng = np.random.default_rng(11)
+    lq = rng.random((2, 7, 3, 12, 12)).astype(np.float32)
+    gt = rng.random((2, 3, 24, 24)).astype(np.float32)
+    model.set_scale((2.0, 2.0))
+
+    out = model(torch.from_numpy(lq))
+    loss = torch.sqrt((out - torch.from_numpy(gt)) ** 2 + 1e-12).mean()
+    loss.backward()
+
+    grads = {
+        name: p.grad.numpy() for name, p in model.named_parameters() if p.grad is not None
+    }
+    np.savez_compressed(
+        os.path.join(GOLDEN_DIR, "savsr_small_grads.npz"),
+        lq=lq, gt=gt, loss=loss.item(), **{f"g/{k}": v for k, v in grads.items()},
+    )
+    print(f"gradient golden written: loss={loss.item():.6f}, {len(grads)} grads")
+
+
 if __name__ == "__main__":
     gen_core_resize()
     gen_metrics()
     gen_module_goldens()
     gen_small_savsr()
+    gen_gradient_golden()
     gen_savsr_forward()
