@@ -114,7 +114,9 @@ def osconv_pallas_agg(x: jnp.ndarray, agg_weight: jnp.ndarray, padding: int = 1)
         )
         cin = cin + cpad
         cout = cout + opad
-    tile_h = _pick_tile_h(w, cin, cout, kh, kw)
+    # second-minor (W) slices must be 8-aligned under bf16 tiling; pad W
+    w_eff = w + ((-w) % 8)
+    tile_h = _pick_tile_h(w_eff, cin, cout, kh, kw)
     n_rows = pl.cdiv(h, tile_h)
     grid = (b, n_rows)
     ph = n_rows * tile_h - h
@@ -123,16 +125,16 @@ def osconv_pallas_agg(x: jnp.ndarray, agg_weight: jnp.ndarray, padding: int = 1)
         (
             (0, 0),
             (padding, ph + (kh - 1 - padding)),
-            (padding, (kw - 1 - padding)),
+            (padding, (w_eff - w) + (kw - 1 - padding)),
             (0, 0),
         ),
     )
     # stack the kw horizontal shifts in XLA (one cheap HBM copy) so the
     # kernel's DMAs never slice a tiled dimension
-    x_shifts = jnp.stack([x_pad[:, :, dx : dx + w, :] for dx in range(kw)], axis=0)
+    x_shifts = jnp.stack([x_pad[:, :, dx : dx + w_eff, :] for dx in range(kw)], axis=0)
 
     kernel = functools.partial(
-        _osconv_kernel, kh=kh, kw=kw, tile_h=tile_h, w_out=w, cin=cin, cout=cout
+        _osconv_kernel, kh=kh, kw=kw, tile_h=tile_h, w_out=w_eff, cin=cin, cout=cout
     )
     out = pl.pallas_call(
         kernel,
@@ -142,18 +144,18 @@ def osconv_pallas_agg(x: jnp.ndarray, agg_weight: jnp.ndarray, padding: int = 1)
             pl.BlockSpec(memory_space=pltpu.HBM),
         ],
         out_specs=pl.BlockSpec(
-            (1, tile_h, w, cout),
+            (1, tile_h, w_eff, cout),
             lambda bb, i: (bb, i, 0, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((b, n_rows * tile_h, w, cout), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, n_rows * tile_h, w_eff, cout), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((kw, tile_h + kh - 1, w, cin), x.dtype),
+            pltpu.VMEM((kw, tile_h + kh - 1, w_eff, cin), x.dtype),
             pltpu.VMEM((P, cin, cout), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )(x_shifts, agg_weight.reshape(b, P, cin, cout).astype(jnp.float32))
-    return out[:, :h, :, :cout_orig]
+    return out[:, :h, :w, :cout_orig]
 
 
 def _aggregate_weights(weight, ca, fa, sa, ka):
