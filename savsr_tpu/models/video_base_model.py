@@ -82,9 +82,17 @@ class VideoBaseModel(SRModel):
                 imwrite(result_img, save_img_path)
 
             if with_metrics:
-                for metric_idx, opt_ in enumerate(self.opt["val"]["metrics"].values()):
-                    result = calculate_metric(metric_data, opt_)
-                    self.metric_results[folder][int(frame_idx), metric_idx] += result
+                if self.opt["val"].get("metrics_device", False):
+                    # fast on-device metrics for in-training validation:
+                    # float path (no uint8 rounding) — ~0.01-0.03 dB from the
+                    # canonical host metrics; final eval uses the host path
+                    results = self._device_metrics()
+                    for metric_idx, r in enumerate(results):
+                        self.metric_results[folder][int(frame_idx), metric_idx] += r
+                else:
+                    for metric_idx, opt_ in enumerate(self.opt["val"]["metrics"].values()):
+                        result = calculate_metric(metric_data, opt_)
+                        self.metric_results[folder][int(frame_idx), metric_idx] += result
 
         if with_metrics:
             if world_size > 1:
@@ -97,6 +105,31 @@ class VideoBaseModel(SRModel):
                     ).sum(axis=0)
                     self.metric_results[folder] = np.asarray(summed)
             self._log_validation_metric_values(current_iter, dataset_name, tb_logger)
+
+    def _device_metrics(self):
+        """PSNR/SSIM of the current output vs gt on device (NHWC [0,1])."""
+        import jax.numpy as jnp
+
+        from ..data.resize import resize_jax
+        from ..metrics.psnr_ssim import calculate_psnr_jnp, calculate_ssim_jnp
+
+        out = self.output
+        gt = self.gt
+        if out.shape != gt.shape:
+            out = resize_jax(out, (gt.shape[-3], gt.shape[-2]), mode="torch")
+        out = jnp.clip(out.astype(jnp.float32), 0.0, 1.0)
+        gt = gt.astype(jnp.float32)
+        results = []
+        for name, m_opt in self.opt["val"]["metrics"].items():
+            y = m_opt.get("test_y_channel", False)
+            cb = m_opt.get("crop_border", 0)
+            if "psnr" in m_opt["type"]:
+                results.append(float(calculate_psnr_jnp(out, gt, cb, y)[0]))
+            elif "ssim" in m_opt["type"]:
+                results.append(float(calculate_ssim_jnp(out, gt, cb, y)[0]))
+            else:
+                raise ValueError(f"metrics_device does not support {m_opt['type']}")
+        return results
 
     def nondist_validation(self, dataloader, current_iter, tb_logger, save_img):
         self.dist_validation(dataloader, current_iter, tb_logger, save_img)

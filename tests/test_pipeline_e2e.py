@@ -206,6 +206,38 @@ def test_train_pipeline_smoke(vimeo_root, tmp_path):
     model.resume_training(state)
 
 
+def test_eval_device_metrics_close_to_host(vid_root, tmp_path):
+    """On-device validation metrics track the canonical host metrics."""
+    from savsr_tpu.data import build_dataloader, build_dataset
+    from savsr_tpu.models import build_model
+
+    ds_opt = {
+        "name": "Vid4_tiny_x2_dev",
+        "type": "ASVideoTestDataset",
+        "dataroot_gt": vid_root,
+        "dataroot_lq": vid_root,
+        "io_backend": {"type": "disk"},
+        "cache_data": True,
+        "num_frame": 7,
+        "padding": "reflection",
+        "use_arbitrary_scale_downsampling": True,
+        "downsampling_scale": (2.0, 2.0),
+        "downsampling_mode": "torch",
+        "phase": "test",
+    }
+    dataset = build_dataset(ds_opt)
+    loader = build_dataloader(dataset, ds_opt)
+    opt = _eval_opt(vid_root, tmp_path)
+    model = build_model(opt)
+    model.validation(loader, current_iter=1, tb_logger=None, save_img=False)
+    host = dict(model.last_metric_results)
+    model.opt["val"]["metrics_device"] = True
+    model.validation(loader, current_iter=2, tb_logger=None, save_img=False)
+    dev = dict(model.last_metric_results)
+    assert abs(host["psnr_y"] - dev["psnr_y"]) < 0.1
+    assert abs(host["ssim_y"] - dev["ssim_y"]) < 0.01
+
+
 def test_train_bf16_device_degrade(vimeo_root, tmp_path):
     """AMP-analog bf16 compute + on-device asBI degradation path."""
     from savsr_tpu.data import build_dataloader, build_dataset
