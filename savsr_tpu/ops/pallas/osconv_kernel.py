@@ -37,9 +37,9 @@ def _osconv_kernel(
     x_ref,       # HBM: [kw, B, Hp + kh-1, W, Cin] (pre-padded, pre-shifted)
     agg_ref,     # HBM: [B, P, Cin, Cout] per-sample aggregated weights
     out_ref,     # VMEM block: [1, TH, W, Cout]
-    x_slab,      # scratch VMEM: [TH + kh-1, W + kw-1, Cin]
+    x_slab,      # scratch VMEM: [2, kw, TH + kh-1, W, Cin] (double buffered)
     agg,         # scratch VMEM: [P, Cin, Cout]
-    sems,        # 2 DMA semaphores
+    sems,        # DMA semaphores: (2 slab slots, 1 agg)
     *,
     kh: int,
     kw: int,
@@ -47,52 +47,72 @@ def _osconv_kernel(
     w_out: int,
     cin: int,
     cout: int,
+    cout_used: int,
+    n_rows: int,
+    batch: int,
 ):
     b = pl.program_id(0)
     th = pl.program_id(1)
+    step = b * n_rows + th
+    total = batch * n_rows
 
-    # kw pre-shifted row slabs (shift views stacked by XLA on dim 0): the
-    # DMA slices only untiled leading dims, valid for any dtype tiling
-    copies = []
-    for dx in range(kw):
-        c = pltpu.make_async_copy(
-            x_ref.at[dx, b, pl.ds(th * tile_h, tile_h + kh - 1), :, :],
-            x_slab.at[dx],
-            sems.at[0],
+    def slab_copy(slot, bb, tt):
+        # one DMA per step: all kw shifted slabs at once (dims 0/1/2 are
+        # untiled, so the slice is legal for any dtype tiling)
+        return pltpu.make_async_copy(
+            x_ref.at[:, bb, pl.ds(tt * tile_h, tile_h + kh - 1), :, :],
+            x_slab.at[slot],
+            sems.at[slot],
         )
-        c.start()
-        copies.append(c)
+
+    slot = jax.lax.rem(step, 2)
+    nxt = step + 1
+    nb = nxt // n_rows
+    nth = jax.lax.rem(nxt, n_rows)
+
+    # warm-up: the very first step issues its own slab DMA
+    @pl.when(step == 0)
+    def _():
+        slab_copy(slot, b, th).start()
+
+    # prefetch the next step's slabs into the other slot
+    @pl.when(nxt < total)
+    def _():
+        slab_copy(1 - slot, nb, nth).start()
 
     # refresh this sample's aggregated weight on its first row slab
     @pl.when(th == 0)
     def _():
-        w_copy = pltpu.make_async_copy(agg_ref.at[b], agg, sems.at[1])
+        w_copy = pltpu.make_async_copy(agg_ref.at[b], agg, sems.at[2])
         w_copy.start()
         w_copy.wait()
 
-    for c in copies:
-        c.wait()
+    slab_copy(slot, b, th).wait()
 
-    acc = jnp.zeros((tile_h * w_out, cout), jnp.float32)
+    acc = jnp.zeros((tile_h * w_out, cout_used), jnp.float32)
     for dy in range(kh):
         for dx in range(kw):
             p = dy * kw + dx
-            window = x_slab[dx, dy : dy + tile_h, :, :].reshape(tile_h * w_out, cin)
+            window = x_slab[slot, dx, dy : dy + tile_h, :, :].reshape(
+                tile_h * w_out, cin
+            )
             acc = acc + jax.lax.dot_general(
                 window,
-                agg[p],
+                agg[p, :, :cout_used],
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-    out_ref[0] = acc.reshape(tile_h, w_out, cout).astype(out_ref.dtype)
+    out_ref[0] = acc.reshape(tile_h, w_out, cout_used).astype(out_ref.dtype)
 
 
-def _pick_tile_h(w: int, cin: int, cout: int, kh: int, kw: int) -> int:
-    """Largest row count whose kw slabs + accumulator fit ~8MB of VMEM."""
+def _pick_tile_h(w: int, cin: int, cout: int, kh: int, kw: int,
+                 itemsize: int) -> int:
+    """Largest row count whose double-buffered kw slabs + accumulator fit
+    ~10MB of VMEM."""
     for th in (64, 32, 16, 8, 4):
-        slab = kw * (th + kh - 1) * w * cin * 4
+        slab = 2 * kw * (th + kh - 1) * w * cin * itemsize
         acc = th * w * cout * 4
-        if slab + acc <= 8 * 1024 * 1024:
+        if slab + acc <= 10 * 1024 * 1024:
             return th
     return 4
 
@@ -114,9 +134,11 @@ def osconv_pallas_agg(x: jnp.ndarray, agg_weight: jnp.ndarray, padding: int = 1)
         )
         cin = cin + cpad
         cout = cout + opad
+    # matmuls/outputs only need the 8-aligned prefix of the 128-padded cout
+    cout_round = cout_orig + ((-cout_orig) % 8)
     # second-minor (W) slices must be 8-aligned under bf16 tiling; pad W
     w_eff = w + ((-w) % 8)
-    tile_h = _pick_tile_h(w_eff, cin, cout, kh, kw)
+    tile_h = _pick_tile_h(w_eff, cin, cout, kh, kw, x.dtype.itemsize)
     n_rows = pl.cdiv(h, tile_h)
     grid = (b, n_rows)
     ph = n_rows * tile_h - h
@@ -134,7 +156,8 @@ def osconv_pallas_agg(x: jnp.ndarray, agg_weight: jnp.ndarray, padding: int = 1)
     x_shifts = jnp.stack([x_pad[:, :, dx : dx + w_eff, :] for dx in range(kw)], axis=0)
 
     kernel = functools.partial(
-        _osconv_kernel, kh=kh, kw=kw, tile_h=tile_h, w_out=w_eff, cin=cin, cout=cout
+        _osconv_kernel, kh=kh, kw=kw, tile_h=tile_h, w_out=w_eff, cin=cin,
+        cout=cout, cout_used=cout_round, n_rows=n_rows, batch=b,
     )
     out = pl.pallas_call(
         kernel,
@@ -144,15 +167,15 @@ def osconv_pallas_agg(x: jnp.ndarray, agg_weight: jnp.ndarray, padding: int = 1)
             pl.BlockSpec(memory_space=pltpu.HBM),
         ],
         out_specs=pl.BlockSpec(
-            (1, tile_h, w_eff, cout),
+            (1, tile_h, w_eff, cout_round),
             lambda bb, i: (bb, i, 0, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((b, n_rows * tile_h, w_eff, cout), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, n_rows * tile_h, w_eff, cout_round), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((kw, tile_h + kh - 1, w_eff, cin), x.dtype),
+            pltpu.VMEM((2, kw, tile_h + kh - 1, w_eff, cin), x.dtype),
             pltpu.VMEM((P, cin, cout), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((3,)),
         ],
     )(x_shifts, agg_weight.reshape(b, P, cin, cout).astype(jnp.float32))
     return out[:, :h, :w, :cout_orig]
