@@ -268,6 +268,55 @@ def upsample_bilinear_2x(x: jnp.ndarray) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
+def grid_sample_bilinear_blockgather(
+    x: jnp.ndarray, grid: jnp.ndarray, align_corners: bool = True, padding_zeros: bool = True
+) -> jnp.ndarray:
+    """grid_sample via ONE lax.gather of 2x2xC blocks per output pixel
+    (instead of four row gathers) — alternative engine for TPU A/B."""
+    b, h, w, c = x.shape
+    gx = grid[..., 0]
+    gy = grid[..., 1]
+    if align_corners:
+        fx = (gx + 1.0) * 0.5 * (w - 1)
+        fy = (gy + 1.0) * 0.5 * (h - 1)
+    else:
+        fx = ((gx + 1.0) * w - 1.0) * 0.5
+        fy = ((gy + 1.0) * h - 1.0) * 0.5
+    x0 = jnp.floor(fx)
+    y0 = jnp.floor(fy)
+    wx = (fx - x0)[..., None]
+    wy = (fy - y0)[..., None]
+
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    yc = jnp.clip(y0.astype(jnp.int32) + 1, 0, h)
+    xc = jnp.clip(x0.astype(jnp.int32) + 1, 0, w)
+    H, W = gx.shape[1], gx.shape[2]
+    idx = jnp.stack([yc, xc], axis=-1).reshape(b, H * W, 2)
+
+    dn = lax.GatherDimensionNumbers(
+        offset_dims=(1, 2, 3), collapsed_slice_dims=(), start_index_map=(0, 1)
+    )
+    patches = jax.vmap(
+        lambda xx, ii: lax.gather(xx, ii, dimension_numbers=dn, slice_sizes=(2, 2, c), mode="clip")
+    )(xp, idx)
+    patches = patches.reshape(b, H, W, 2, 2, c)
+
+    if padding_zeros:
+        def valid(yi, xi):
+            return ((xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)).astype(x.dtype)[..., None]
+        m00 = valid(y0, x0); m01 = valid(y0, x0 + 1)
+        m10 = valid(y0 + 1, x0); m11 = valid(y0 + 1, x0 + 1)
+    else:
+        m00 = m01 = m10 = m11 = 1.0
+
+    return (
+        patches[:, :, :, 0, 0] * m00 * (1 - wx) * (1 - wy)
+        + patches[:, :, :, 0, 1] * m01 * wx * (1 - wy)
+        + patches[:, :, :, 1, 0] * m10 * (1 - wx) * wy
+        + patches[:, :, :, 1, 1] * m11 * wx * wy
+    )
+
+
 def grid_sample_bilinear(
     x: jnp.ndarray, grid: jnp.ndarray, align_corners: bool = True, padding_zeros: bool = True
 ) -> jnp.ndarray:

@@ -313,7 +313,11 @@ def _stau_grid_sample(x: jnp.ndarray, offset: jnp.ndarray, scale: Scale) -> jnp.
     off_y = offset[..., 1:2] * (2.0 / (h - 1))
     grid = base + jnp.concatenate([off_x, off_y], axis=-1)
     grid = jnp.broadcast_to(grid, (b, *grid.shape[1:]))
-    return grid_sample_bilinear(x, grid, align_corners=True, padding_zeros=True)
+    # block-gather engine: one 2x2xC gather per output pixel (exact; ~3%
+    # whole-model faster than four row gathers on v5e)
+    from .arch_util import grid_sample_bilinear_blockgather
+
+    return grid_sample_bilinear_blockgather(x, grid, align_corners=True, padding_zeros=True)
 
 
 def sta_conv(feat: jnp.ndarray, kernel: jnp.ndarray, st_ksize: int = 5) -> jnp.ndarray:
