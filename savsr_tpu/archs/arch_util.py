@@ -195,7 +195,11 @@ def batch_norm(
 
 
 def leaky_relu(x: jnp.ndarray, negative_slope: float = 0.2) -> jnp.ndarray:
-    return jnp.where(x >= 0, x, x * negative_slope)
+    # abs-based form (identical values): fuses into neighboring ops on TPU
+    # where the compare+select form was emitted as standalone kernels
+    a = 0.5 * (1.0 + negative_slope)
+    b = 0.5 * (1.0 - negative_slope)
+    return a * x + b * jnp.abs(x)
 
 
 def sigmoid(x: jnp.ndarray) -> jnp.ndarray:

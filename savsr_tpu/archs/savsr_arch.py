@@ -152,19 +152,26 @@ def osconv_init(
 
 
 def osconv_apply_module(
-    ctx: Ctx, prefix: str, x: jnp.ndarray, scale: Scale,
+    ctx: Ctx, prefix: str, x, scale: Scale,
     stride: int = 1, padding: int = 1, impl: str = "einsum",
     temperature: float = 1.0,
 ) -> jnp.ndarray:
-    """OSConv2d forward (reference _forward_impl_common, savsr_arch.py:139-172)."""
-    b = x.shape[0]
+    """OSConv2d forward (reference _forward_impl_common, savsr_arch.py:139-172).
+
+    ``x`` may be a list of channel-parts standing for ``concat(x, C)``: the
+    conv then runs as a sum of per-part convs with Cin-split weights — same
+    math, no concat materialization (a measured copy hotspot on TPU).
+    """
+    parts = x if isinstance(x, list) else [x]
+    b = parts[0].shape[0]
+    dtype = parts[0].dtype
     weight = ctx[f"{prefix}weight"]  # [K, kh, kw, I, O]
     kernel_size = weight.shape[1]
 
     scale_info = jnp.tile(
-        jnp.asarray([[1.0 / scale[0], 1.0 / scale[1]]], dtype=x.dtype), (b, 1)
+        jnp.asarray([[1.0 / scale[0], 1.0 / scale[1]]], dtype=dtype), (b, 1)
     )
-    gap = adaptive_avg_pool_11(x)  # [B, Cin]
+    gap = jnp.concatenate([adaptive_avg_pool_11(p) for p in parts], axis=1)
     r = jnp.concatenate([scale_info, gap], axis=1)
     r = jax.nn.relu(linear(ctx, f"{prefix}scale_routing.0", r))
     r = jax.nn.relu(linear(ctx, f"{prefix}scale_routing.2", r))
@@ -179,19 +186,19 @@ def osconv_apply_module(
         from ..ops.pallas.osconv_kernel import osconv_fused
 
         assert stride == 1
+        x_cat = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=-1)
         return osconv_fused(
-            x,
+            x_cat,
             weight,
             ca,
-            fa if fa is not None else jnp.ones((b, weight.shape[-1]), x.dtype),
-            sa if sa is not None else jnp.ones((b, kernel_size, kernel_size), x.dtype),
-            ka if ka is not None else jnp.ones((b, 1), x.dtype),
+            fa if fa is not None else jnp.ones((b, weight.shape[-1]), dtype),
+            sa if sa is not None else jnp.ones((b, kernel_size, kernel_size), dtype),
+            ka if ka is not None else jnp.ones((b, 1), dtype),
             padding,
         )
 
-    x = x * ca[:, None, None, :]
     # aggregate per-sample kernels: sum_K ka * (sa ⊙ W_K)
-    w = weight.astype(x.dtype)
+    w = weight.astype(dtype)
     if ka is not None:
         agg = jnp.einsum("bK,Kklio->bklio", ka, w)
     else:
@@ -199,7 +206,16 @@ def osconv_apply_module(
     if sa is not None:
         agg = agg * sa[:, :, :, None, None]
 
-    y = osconv_apply(x, agg, stride=stride, padding=padding, impl=impl)
+    y = None
+    off = 0
+    for p in parts:
+        c = p.shape[-1]
+        pc = p * ca[:, None, None, off : off + c]
+        yi = osconv_apply(
+            pc, agg[:, :, :, off : off + c, :], stride=stride, padding=padding, impl=impl
+        )
+        y = yi if y is None else y + yi
+        off += c
     if fa is not None:
         y = y * fa[:, None, None, :]
     return y
@@ -394,6 +410,30 @@ def residual_block_init(ic: InitCtx, prefix: str, num_feat: int, num_frame: int,
         ic.conv(f"{prefix}conv2.{i}", 3, 3, num_feat * 2, num_feat)
 
 
+def _conv2d_parts(ctx: Ctx, name: str, parts: List[jnp.ndarray], padding: int = 0) -> jnp.ndarray:
+    """conv(concat(parts, C)) == sum_i conv_i(part_i) with the weight split
+    along Cin — identical math, no concat copy (profiling showed the channel
+    concats feeding convs cost ~38% of the alignment loop on v5e)."""
+    from jax import lax
+
+    w = ctx[f"{name}.weight"]
+    y = None
+    off = 0
+    for p in parts:
+        c = p.shape[-1]
+        yi = lax.conv_general_dilated(
+            p, w[:, :, off : off + c, :].astype(p.dtype), (1, 1),
+            ((padding, padding), (padding, padding)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        y = yi if y is None else y + yi
+        off += c
+    b = ctx.params.get(f"{name}.bias")
+    if b is not None:
+        y = y + b.astype(y.dtype)
+    return y
+
+
 def residual_block_apply(
     ctx: Ctx, prefix: str, feats: List[jnp.ndarray], scale: Scale,
     use_osconv: bool, impl: str = "einsum",
@@ -403,15 +443,16 @@ def residual_block_apply(
     # XLA's fast conv path) — keep them separate
     n = len(feats)
     x1 = [leaky_relu(conv2d(ctx, f"{prefix}conv0.{i}", feats[i], padding=1)) for i in range(n)]
-    merge = jnp.concatenate(x1, axis=-1)
     if use_osconv:
-        base = leaky_relu(osconv_apply_module(ctx, f"{prefix}osconv.", merge, scale, impl=impl))
+        base = leaky_relu(
+            osconv_apply_module(ctx, f"{prefix}osconv.", x1, scale, impl=impl)
+        )
     else:
-        base = leaky_relu(conv2d(ctx, f"{prefix}conv1", merge))
+        base = leaky_relu(_conv2d_parts(ctx, f"{prefix}conv1", x1))
     out = []
     for i in range(n):
         x2 = leaky_relu(
-            conv2d(ctx, f"{prefix}conv2.{i}", jnp.concatenate([base, x1[i]], axis=-1), padding=1)
+            _conv2d_parts(ctx, f"{prefix}conv2.{i}", [base, x1[i]], padding=1)
         )
         out.append(feats[i] + x2)
     return out
@@ -442,7 +483,7 @@ def window_l1_apply(
         feats = residual_block_apply(
             ctx, f"{prefix}blocks.{i}.", feats, scale, use_osconv=(i >= 1), impl=impl
         )
-    return conv2d(ctx, f"{prefix}merge", jnp.concatenate(feats, axis=-1), padding=1)
+    return _conv2d_parts(ctx, f"{prefix}merge", feats, padding=1)
 
 
 def window_l2_init(ic: InitCtx, prefix: str, num_feat: int, win_size: int = 5,
@@ -469,7 +510,7 @@ def window_l2_apply(
             sw = residual_block_apply(
                 ctx, f"{prefix}blocks.{bi}.", sw, scale, use_osconv=True, impl=impl
             )
-        out_feat.append(conv2d(ctx, f"{prefix}merge", jnp.concatenate(sw, axis=-1), padding=1))
+        out_feat.append(_conv2d_parts(ctx, f"{prefix}merge", sw, padding=1))
     return out_feat
 
 
