@@ -163,6 +163,9 @@ def osconv_apply_module(
     math, no concat materialization (a measured copy hotspot on TPU).
     """
     parts = x if isinstance(x, list) else [x]
+    if ctx.train and len(parts) > 1:
+        # concat form for training: the split backward is much slower
+        parts = [jnp.concatenate(parts, axis=-1)]
     b = parts[0].shape[0]
     dtype = parts[0].dtype
     weight = ctx[f"{prefix}weight"]  # [K, kh, kw, I, O]
@@ -320,7 +323,9 @@ def _stau_base_grid(h: int, w: int, scale: Scale) -> np.ndarray:
     return grid
 
 
-def _stau_grid_sample(x: jnp.ndarray, offset: jnp.ndarray, scale: Scale) -> jnp.ndarray:
+def _stau_grid_sample(
+    x: jnp.ndarray, offset: jnp.ndarray, scale: Scale, train: bool = False
+) -> jnp.ndarray:
     """grid_sample with HR->LR grid + predicted offsets (zeros padding,
     align_corners=True)."""
     b, h, w, _ = x.shape
@@ -329,6 +334,10 @@ def _stau_grid_sample(x: jnp.ndarray, offset: jnp.ndarray, scale: Scale) -> jnp.
     off_y = offset[..., 1:2] * (2.0 / (h - 1))
     grid = base + jnp.concatenate([off_x, off_y], axis=-1)
     grid = jnp.broadcast_to(grid, (b, *grid.shape[1:]))
+    if train:
+        # the block-gather's backward (2x2-block scatter) is slow; training
+        # keeps the four row gathers whose scatter-adds XLA handles well
+        return grid_sample_bilinear(x, grid, align_corners=True, padding_zeros=True)
     # block-gather engine: one 2x2xC gather per output pixel (exact; ~3%
     # whole-model faster than four row gathers on v5e)
     from .arch_util import grid_sample_bilinear_blockgather
@@ -379,7 +388,7 @@ def stau_apply(
     # both are linear mixtures over experts, we contract with each shared
     # expert matrix first (4 MXU matmuls) and mix with the routing weights —
     # mathematically identical, no [H,W,C/8,C] materialization.
-    fea0 = _stau_grid_sample(x, offset, scale)  # [B,H,W,C]
+    fea0 = _stau_grid_sample(x, offset, scale, ctx.train)  # [B,H,W,C]
     wc = ctx[f"{prefix}weight_compress"].astype(x.dtype)  # [n, C/8, C]
     we = ctx[f"{prefix}weight_expand"].astype(x.dtype)    # [n, C, C/8]
     r = routing[0]  # [H,W,n]
@@ -388,7 +397,7 @@ def stau_apply(
     ze = jnp.einsum("bhwo,nco->bhwnc", fc, we)
     fea = jnp.einsum("bhwnc,hwn->bhwc", ze, r) + fea0
 
-    sta_up = _stau_grid_sample(sta_feat, st_offset, scale)
+    sta_up = _stau_grid_sample(sta_feat, st_offset, scale, ctx.train)
     out = conv2d(ctx, f"{prefix}fusion", jnp.concatenate([sta_up, fea], axis=-1))
     return out
 
