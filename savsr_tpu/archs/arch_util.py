@@ -187,6 +187,11 @@ def batch_norm(
         rv = ctx.stats_updates.get(f"{name}.running_var", ctx[f"{name}.running_var"])
         ctx.stats_updates[f"{name}.running_mean"] = (1 - momentum) * rm + momentum * mean
         ctx.stats_updates[f"{name}.running_var"] = (1 - momentum) * rv + momentum * unbiased
+        # torch increments num_batches_tracked every train-mode forward
+        nbt_key = f"{name}.num_batches_tracked"
+        if nbt_key in ctx.params:
+            nbt = ctx.stats_updates.get(nbt_key, ctx[nbt_key])
+            ctx.stats_updates[nbt_key] = nbt + 1
     else:
         mean = ctx[f"{name}.running_mean"]
         var = ctx[f"{name}.running_var"]

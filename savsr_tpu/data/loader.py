@@ -9,8 +9,9 @@ by ``jax.device_put`` overlap in the train loop / DevicePrefetcher below).
 
 from __future__ import annotations
 
-import queue
-import threading
+import itertools
+from collections import deque
+from concurrent.futures import ThreadPoolExecutor
 from typing import Any, Callable, Dict, Iterator, List, Optional
 
 import numpy as np
@@ -162,33 +163,43 @@ class DataLoader:
                 yield self._load_batch(bi)
             return
 
-        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch_depth)
-        stop = threading.Event()
-
-        def producer():
-            try:
-                for bi in batches:
-                    if stop.is_set():
-                        return
-                    q.put(self._load_batch(bi))
-                q.put(None)
-            except BaseException as e:  # propagate worker failure
-                q.put(e)
-
-        # single producer thread preserves batch order; cv2/numpy release the
-        # GIL so decode overlaps with device compute
-        producer_thread = threading.Thread(target=producer, daemon=True)
-        producer_thread.start()
+        # num_workers threads each build whole batches; a bounded window of
+        # in-flight futures keeps delivery ordered and memory capped, and the
+        # finally-block cancels cleanly if the consumer abandons iteration
+        # (cv2/numpy release the GIL so decode overlaps device compute)
+        window = max(self.prefetch_depth, self.num_workers)
+        executor = ThreadPoolExecutor(max_workers=self.num_workers)
+        futures: deque = deque()
         try:
-            while True:
-                item = q.get()
-                if item is None:
-                    break
-                if isinstance(item, BaseException):
-                    raise item
-                yield item
+            it = iter(batches)
+            for bi in itertools.islice(it, window):
+                futures.append(executor.submit(self._load_batch, bi))
+            while futures:
+                batch = futures.popleft().result()  # raises worker failure
+                nxt = next(it, None)
+                if nxt is not None:
+                    futures.append(executor.submit(self._load_batch, nxt))
+                yield batch
         finally:
-            stop.set()
+            while futures:
+                futures.popleft().cancel()
+            executor.shutdown(wait=False)
+
+
+class CPUPrefetcher:
+    """Thin iterator adapter with the reset()/next() prefetcher protocol
+    (reference prefetch_dataloader.py:61-81); the actual read-ahead lives in
+    DataLoader's worker pool."""
+
+    def __init__(self, loader: DataLoader):
+        self.loader = loader
+        self._iter = None
+
+    def reset(self) -> None:
+        self._iter = iter(self.loader)
+
+    def next(self):
+        return next(self._iter, None)
 
 
 class DevicePrefetcher:

@@ -220,22 +220,47 @@ class ASVimeo90KDataset(Vimeo90KDataset):
 
 @DATASET_REGISTRY.register()
 class Vimeo90KRecurrentDataset(Vimeo90KDataset):
-    """Recurrent variant: returns the full 7/14-frame sequence as both lq and
-    gt windows (reference vimeo90k_dataset.py:413-479)."""
+    """Recurrent variant: returns the FULL paired 7-frame (or sequence-flipped
+    14-frame) LQ/GT sequences (reference vimeo90k_dataset.py:413-479) — unlike
+    the parent, gt is [T, H, W, C], not the center frame."""
 
     def __init__(self, opt: dict):
         super().__init__(opt)
         self.flip_sequence = opt.get("flip_sequence", False)
+        self.neighbor_list = [1, 2, 3, 4, 5, 6, 7]
 
     def __getitem__(self, index: int):
-        item = super().__getitem__(index)
-        # gt here is the center frame only in the parent; recurrent training
-        # pairs full sequences, so reread is avoided by flipping lq
-        lq = item["lq"]
-        if self.flip_sequence:
-            lq = np.concatenate([lq, lq[::-1]], axis=0)
-        item["lq"] = lq
-        return item
+        self._ensure_client()
+        if self.random_reverse and random.random() < 0.5:
+            self.neighbor_list.reverse()
+
+        scale = self.opt["scale"]
+        gt_size = self.opt["gt_size"]
+        key = self.keys[index]
+        clip, seq = key.split("/")
+
+        img_lqs, img_gts = [], []
+        for neighbor in self.neighbor_list:
+            if self.is_lmdb:
+                img_lq_path = f"{clip}/{seq}/im{neighbor}"
+                img_gt_path = f"{clip}/{seq}/im{neighbor}"
+            else:
+                img_lq_path = osp.join(self.lq_root, clip, seq, f"im{neighbor}.png")
+                img_gt_path = osp.join(self.gt_root, clip, seq, f"im{neighbor}.png")
+            img_lqs.append(self._read(img_lq_path, "lq"))
+            img_gts.append(self._read(img_gt_path, "gt"))
+
+        img_gts, img_lqs = paired_random_crop(img_gts, img_lqs, gt_size, scale, img_gt_path)
+        t = len(img_lqs)
+        img_results = augment(img_lqs + img_gts, self.opt["use_hflip"], self.opt["use_rot"])
+        img_results = [np.ascontiguousarray(v[..., ::-1], dtype=np.float32) for v in img_results]
+        img_lqs = np.stack(img_results[:t], axis=0)
+        img_gts = np.stack(img_results[t:], axis=0)
+
+        if self.flip_sequence:  # 7 frames -> 14 (forward + reversed)
+            img_lqs = np.concatenate([img_lqs, img_lqs[::-1]], axis=0)
+            img_gts = np.concatenate([img_gts, img_gts[::-1]], axis=0)
+        return {"lq": img_lqs, "gt": img_gts, "key": key}
 
 
 @DATASET_REGISTRY.register()

@@ -40,18 +40,35 @@ class ASVSRRecurrentModel(ASVideoRecurrentModel):
     def __init__(self, opt):
         super().__init__(opt)
         if "train" in self.opt and self.opt["train"].get("sub_frame") is not None:
-            sub = self.opt["train"]["sub_frame"]
+            self.sub_frame = self.opt["train"]["sub_frame"]
             nf = self.opt["datasets"]["train"]["num_frame"]
-            self.loss_frame_seq = list(range(sub, nf - sub))
+            self.loss_frame_seq = list(range(self.sub_frame, nf - self.sub_frame))
             self.alpha = self.opt["train"].get("alpha", 0)
+            # the reference trims the *network output* via net_g(lq, sub_frame)
+            # (asvsr_model.py:93); archs that support this expose sub_frame=
+            # in apply() and skip computing the trimmed frames
+            import inspect
+
+            self._net_takes_sub_frame = (
+                "sub_frame" in inspect.signature(self.net_g.apply).parameters
+            )
 
     def _loss_fn(self, trainable, stats, lq, gt, scale):
         params = {**trainable, **stats}
-        output, stats_updates = self.net_g.apply(params, lq, scale, train=True)
-        if hasattr(self, "loss_frame_seq") and output.ndim == 5:
-            import jax.numpy as jnp
-
-            gt = gt[:, jnp.asarray(self.loss_frame_seq)]
+        sub = getattr(self, "sub_frame", None)
+        if sub is not None and getattr(self, "_net_takes_sub_frame", False):
+            output, stats_updates = self.net_g.apply(
+                params, lq, scale, train=True, sub_frame=sub
+            )
+        else:
+            output, stats_updates = self.net_g.apply(params, lq, scale, train=True)
+        if sub is not None and output.ndim == 5 and gt.ndim == 5:
+            # loss over the interior frames only (reference asvsr_model.py:104):
+            # gt is always sliced; the output too when the arch did not already
+            # trim it via sub_frame
+            if output.shape[1] == gt.shape[1]:
+                output = output[:, sub : output.shape[1] - sub]
+            gt = gt[:, sub : gt.shape[1] - sub]
         losses = {}
         l_pix = self.cri_pix(output, gt)
         losses["l_pix"] = l_pix

@@ -102,11 +102,23 @@ class SRModel(BaseModel):
     # data / step
     # ------------------------------------------------------------------ #
 
-    def feed_data(self, data: Dict) -> None:
+    def prepare_batch(self, data: Dict) -> Dict:
+        """Host->device upload + sharding, separated from feed_data so a
+        DevicePrefetcher can run it one batch ahead (the TPU analogue of the
+        reference CUDAPrefetcher, prefetch_dataloader.py:84-125)."""
+        out = dict(data)
         batch = {"lq": np.asarray(data["lq"], dtype=np.float32)}
         if "gt" in data:
             batch["gt"] = np.asarray(data["gt"], dtype=np.float32)
-        batch = shard_or_replicate_batch(batch, self.mesh)
+        out.update(shard_or_replicate_batch(batch, self.mesh))
+        return out
+
+    def feed_data(self, data: Dict) -> None:
+        if isinstance(data.get("lq"), jax.Array):
+            # already uploaded by prepare_batch (device prefetch path)
+            batch = data
+        else:
+            batch = self.prepare_batch(data)
         self.lq = batch["lq"]
         self.gt = batch.get("gt")
         if "scale" in data and data["scale"] is not None:
@@ -141,6 +153,19 @@ class SRModel(BaseModel):
             l_pix = self.cri_pix(output, gt)
             losses["l_pix"] = l_pix
             total = total + l_pix
+        if self.cri_perceptual is not None:
+            # VGG features are defined on 4-D NHWC images; fold any leading
+            # temporal axis into the batch (reference sr_model.py applies the
+            # percep/style terms to the full output, sr_model.py:108-118)
+            out4 = output.reshape((-1,) + output.shape[-3:])
+            gt4 = gt.reshape((-1,) + gt.shape[-3:])
+            l_percep, l_style = self.cri_perceptual(out4, gt4)
+            if l_percep is not None:
+                losses["l_percep"] = l_percep
+                total = total + l_percep
+            if l_style is not None:
+                losses["l_style"] = l_style
+                total = total + l_style
         losses["l_total"] = total
         return total, (losses, stats_updates, output)
 

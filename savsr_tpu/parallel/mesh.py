@@ -39,14 +39,27 @@ def shard_batch(tree: Any, mesh: Mesh, axis_name: str = "data") -> Any:
 
 def shard_or_replicate_batch(tree: Any, mesh: Mesh, axis_name: str = "data") -> Any:
     """Shard leaves whose batch axis divides the mesh; replicate the rest
-    (lets bs=1 eval run on a multi-chip mesh without resharding errors)."""
+    (lets bs=1 eval run on a multi-chip mesh without resharding errors).
+
+    Multi-process: each host passes its LOCAL batch (batch_size_per_gpu rows
+    from its process-strided sampler shard); the leaves are assembled into a
+    GLOBAL array of local*num_processes rows via
+    ``jax.make_array_from_process_local_data`` so the effective global batch
+    matches train.py's ``batch_size_per_gpu * world_size`` accounting."""
     n = mesh.shape[axis_name]
     batch_sh = NamedSharding(mesh, P(axis_name))
     repl_sh = NamedSharding(mesh, P())
+    multiprocess = jax.process_count() > 1
 
     def put(x):
-        if hasattr(x, "shape") and x.ndim >= 1 and x.shape[0] % n == 0:
-            return jax.device_put(x, batch_sh)
+        if hasattr(x, "shape") and x.ndim >= 1:
+            if multiprocess:
+                # local rows must divide the host's addressable slice of the mesh
+                local_dev = len(batch_sh.addressable_devices)
+                if local_dev and x.shape[0] % local_dev == 0:
+                    return jax.make_array_from_process_local_data(batch_sh, np.asarray(x))
+            elif x.shape[0] % n == 0:
+                return jax.device_put(x, batch_sh)
         return jax.device_put(x, repl_sh)
 
     return jax.tree_util.tree_map(put, tree)

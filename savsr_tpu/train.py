@@ -16,6 +16,7 @@ import time
 from os import path as osp
 
 from .data import build_dataloader, build_dataset, EnlargedSampler
+from .data.loader import CPUPrefetcher, DevicePrefetcher
 from .models import build_model
 from .utils import (
     AvgTimer,
@@ -153,6 +154,20 @@ def train_pipeline(root_path):
 
     msg_logger = MessageLogger(opt, current_iter, tb_logger)
 
+    # prefetcher selection (reference train.py:148-158): 'device' (alias
+    # 'cuda') keeps the next batch uploaded + sharded while the current step
+    # runs; default/'cpu' reads ahead on host threads only
+    prefetch_mode = opt["datasets"]["train"].get("prefetch_mode")
+    if prefetch_mode in ("device", "cuda"):
+        prefetcher = DevicePrefetcher(train_loader, model.prepare_batch)
+        logger.info(f"Use DevicePrefetcher (prefetch_mode={prefetch_mode}).")
+    elif prefetch_mode is None or prefetch_mode == "cpu":
+        prefetcher = CPUPrefetcher(train_loader)
+    else:
+        raise ValueError(
+            f"Wrong prefetch_mode {prefetch_mode}. Supported ones are: None, 'cpu', 'device'."
+        )
+
     logger.info(f"Start training from epoch: {start_epoch}, iter: {current_iter}")
     data_timer, iter_timer = AvgTimer(), AvgTimer()
     start_time = time.time()
@@ -160,8 +175,8 @@ def train_pipeline(root_path):
 
     for epoch in range(start_epoch, total_epochs + 1):
         train_loader.set_epoch(epoch)
-        data_iter = iter(train_loader)
-        train_data = next(data_iter, None)
+        prefetcher.reset()
+        train_data = prefetcher.next()
 
         while train_data is not None:
             data_timer.record()
@@ -200,7 +215,7 @@ def train_pipeline(root_path):
 
             data_timer.start()
             iter_timer.start()
-            train_data = next(data_iter, None)
+            train_data = prefetcher.next()
         if current_iter > total_iters:
             break
 
