@@ -36,6 +36,17 @@ class Ctx:
     params: Params
     train: bool = False
     stats_updates: Dict[str, jnp.ndarray] = field(default_factory=dict)
+    # engine selection for numerically-identical implementation pairs whose
+    # backward cost differs (split-conv vs concat-conv, block-gather vs
+    # row-gather): "auto" follows ``train``; "train"/"eval" force one side
+    # (used by the train-vs-eval equivalence test)
+    engines: str = "auto"
+
+    @property
+    def train_engines(self) -> bool:
+        if self.engines == "auto":
+            return self.train
+        return self.engines == "train"
 
     def __getitem__(self, key: str) -> jnp.ndarray:
         return self.params[key]

@@ -163,7 +163,7 @@ def osconv_apply_module(
     math, no concat materialization (a measured copy hotspot on TPU).
     """
     parts = x if isinstance(x, list) else [x]
-    if ctx.train and len(parts) > 1:
+    if ctx.train_engines and len(parts) > 1:
         # concat form for training: the split backward is much slower
         parts = [jnp.concatenate(parts, axis=-1)]
     b = parts[0].shape[0]
@@ -388,7 +388,7 @@ def stau_apply(
     # both are linear mixtures over experts, we contract with each shared
     # expert matrix first (4 MXU matmuls) and mix with the routing weights —
     # mathematically identical, no [H,W,C/8,C] materialization.
-    fea0 = _stau_grid_sample(x, offset, scale, ctx.train)  # [B,H,W,C]
+    fea0 = _stau_grid_sample(x, offset, scale, ctx.train_engines)  # [B,H,W,C]
     wc = ctx[f"{prefix}weight_compress"].astype(x.dtype)  # [n, C/8, C]
     we = ctx[f"{prefix}weight_expand"].astype(x.dtype)    # [n, C, C/8]
     r = routing[0]  # [H,W,n]
@@ -397,7 +397,7 @@ def stau_apply(
     ze = jnp.einsum("bhwo,nco->bhwnc", fc, we)
     fea = jnp.einsum("bhwnc,hwn->bhwc", ze, r) + fea0
 
-    sta_up = _stau_grid_sample(sta_feat, st_offset, scale, ctx.train)
+    sta_up = _stau_grid_sample(sta_feat, st_offset, scale, ctx.train_engines)
     out = conv2d(ctx, f"{prefix}fusion", jnp.concatenate([sta_up, fea], axis=-1))
     return out
 
@@ -573,6 +573,8 @@ class SAVSRConfig:
     n_resblocks: int = 8
     center_frame_idx: int | None = None
     osconv_impl: str = "einsum"
+    # engine forcing for the train/eval implementation pairs (see Ctx.engines)
+    engines: str = "auto"
     # 'float32' reproduces the reference bit-for-bit-ish; 'bfloat16'/'default'
     # unlocks full-rate MXU matmuls for the perf path.
     matmul_precision: str = "float32"
@@ -687,7 +689,7 @@ def _ckpt_call(ctx: Ctx, fn, *args, remat: bool):
     base_params = ctx.params
 
     def wrapped(params, updates, args):
-        inner = Ctx({**params, **updates}, train=True)
+        inner = Ctx({**params, **updates}, train=True, engines=ctx.engines)
         out = fn(inner, *args)
         return out, inner.stats_updates
 
@@ -699,7 +701,7 @@ def _ckpt_call(ctx: Ctx, fn, *args, remat: bool):
 def _savsr_apply_inner(
     params: Params, x: jnp.ndarray, scale: Scale, cfg: SAVSRConfig, train: bool = False
 ):
-    ctx = Ctx(params, train=train)
+    ctx = Ctx(params, train=train, engines=cfg.engines)
     b, t, h_input, w_input, c = x.shape
     H, W = get_hw(h_input, w_input, scale)
     impl = cfg.osconv_impl

@@ -186,3 +186,25 @@ def test_savsr_init_matches_golden_structure():
     assert set(params.keys()) == set(golden.keys())
     for k in golden:
         assert tuple(params[k].shape) == tuple(golden[k].shape), k
+
+
+@pytest.mark.parametrize("scale", [(2.0, 2.0), (1.5, 3.5)])
+def test_train_vs_eval_engines_equivalent(scale):
+    """The eval-gated engines (split-Cin OSConv parts, block-gather STAU
+    sampling) must produce the train-path outputs exactly (savsr_arch.py
+    engine gates); pins engine gating so a future gate can't silently fork
+    semantics. BN mode is held fixed (eval) — only the engines differ."""
+    params = _load_params("savsr_small_state.npz")
+    path = os.path.join(GOLDEN_DIR, "savsr_small_forward.npz")
+    io = np.load(path)
+    x = jnp.asarray(io["x"].transpose(0, 1, 3, 4, 2))
+    m_eval = SAVSR(**SMALL_CFG, engines="eval")
+    m_train = SAVSR(**SMALL_CFG, engines="train")
+
+    @functools.partial(jax.jit, static_argnames=("mdl", "scale"))
+    def fwd(mdl, p, x, scale):
+        return mdl.apply(p, x, scale)[0]
+
+    y_eval = np.asarray(fwd(m_eval, params, x, scale))
+    y_train = np.asarray(fwd(m_train, params, x, scale))
+    assert np.abs(y_eval - y_train).max() < 1e-5
