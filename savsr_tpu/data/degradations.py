@@ -3,115 +3,138 @@
 Capability parity with lbasicsr/data/degradations.py (not used by the
 shipped SAVSR configs). Pure numpy/cv2, host-side; kernels can be applied
 on-device via lax.conv when needed.
+
+Derivation notes (all three blur families are radial profiles of the
+Mahalanobis distance d(x) = x^T S^-1 x for a 2x2 covariance S built from
+axis sigmas + rotation; see e.g. Real-ESRGAN sec. 3 / standard multivariate
+Gaussian identities):
+
+- gaussian:             k(x) ~ exp(-d/2)
+- generalized gaussian: k(x) ~ exp(-(d/2)^beta)     (beta=1 -> gaussian)
+- plateau:              k(x) ~ 1 / (d^beta + 1)
+
+The public function names/signatures intentionally match the BasicSR zoo so
+configs and user code written against the reference keep working; the
+implementation below is structured around a single profile-parameterized
+builder instead of one function body per family.
 """
 
 from __future__ import annotations
 
 import math
 import random
-from typing import Sequence, Tuple
+from typing import Callable, Optional, Sequence, Tuple
 
 import cv2
 import numpy as np
 
 
-def _mesh_grid(kernel_size: int):
+def _kernel_grid(kernel_size: int) -> np.ndarray:
+    """[k, k, 2] grid of (x, y) offsets centred on the kernel (integer
+    offsets, shifted by +0.5 cell for even sizes — the zoo convention)."""
     ax = np.arange(-kernel_size // 2 + 1.0, kernel_size // 2 + 1.0)
-    xx, yy = np.meshgrid(ax, ax)
-    xy = np.hstack(
-        (xx.reshape(kernel_size * kernel_size, 1), yy.reshape(kernel_size * kernel_size, 1))
-    ).reshape(kernel_size, kernel_size, 2)
-    return xy, xx, yy
+    return np.stack(np.meshgrid(ax, ax), axis=-1)
+
+
+def _covariance(sig_x: float, sig_y: Optional[float], theta: float,
+                isotropic: bool) -> np.ndarray:
+    """2x2 covariance: R(theta) diag(sx^2, sy^2) R(theta)^T."""
+    if isotropic:
+        return np.diag([sig_x**2, sig_x**2]).astype(np.float64)
+    c, s = math.cos(theta), math.sin(theta)
+    rot = np.array([[c, -s], [s, c]])
+    return rot @ np.diag([sig_x**2, sig_y**2]) @ rot.T
+
+
+def _mahalanobis_sq(cov: np.ndarray, grid: np.ndarray) -> np.ndarray:
+    """d(x) = x^T cov^-1 x over a [k, k, 2] grid."""
+    prec = np.linalg.inv(cov)
+    return np.einsum("hwi,ij,hwj->hw", grid, prec, grid)
+
+
+def _profile_kernel(
+    profile: Callable[[np.ndarray], np.ndarray],
+    kernel_size: int,
+    cov: np.ndarray,
+    grid: Optional[np.ndarray] = None,
+) -> np.ndarray:
+    """Normalized blur kernel from a radial profile of the Mahalanobis
+    distance."""
+    if grid is None:
+        grid = _kernel_grid(kernel_size)
+    k = profile(_mahalanobis_sq(cov, grid))
+    return k / k.sum()
+
+
+# --- BasicSR-compatible public API ----------------------------------------
 
 
 def sigma_matrix2(sig_x: float, sig_y: float, theta: float) -> np.ndarray:
     """2x2 covariance matrix from axis sigmas and rotation."""
-    d = np.array([[sig_x**2, 0], [0, sig_y**2]])
-    u = np.array([[np.cos(theta), -np.sin(theta)], [np.sin(theta), np.cos(theta)]])
-    return u @ d @ u.T
+    return _covariance(sig_x, sig_y, theta, isotropic=False)
 
 
 def pdf2(sigma_matrix: np.ndarray, grid: np.ndarray) -> np.ndarray:
     """Unnormalized bivariate Gaussian pdf on a kernel grid."""
-    inverse_sigma = np.linalg.inv(sigma_matrix)
-    return np.exp(-0.5 * np.sum(np.dot(grid, inverse_sigma) * grid, 2))
+    return np.exp(-0.5 * _mahalanobis_sq(sigma_matrix, grid))
 
 
-def bivariate_gaussian(kernel_size, sig_x, sig_y=None, theta=0.0, grid=None, isotropic=True):
-    if grid is None:
-        grid, _, _ = _mesh_grid(kernel_size)
-    if isotropic:
-        sigma_matrix = np.array([[sig_x**2, 0], [0, sig_x**2]])
-    else:
-        sigma_matrix = sigma_matrix2(sig_x, sig_y, theta)
-    kernel = pdf2(sigma_matrix, grid)
-    return kernel / np.sum(kernel)
+def bivariate_gaussian(kernel_size, sig_x, sig_y=None, theta=0.0, grid=None,
+                       isotropic=True):
+    cov = _covariance(sig_x, sig_y, theta, isotropic)
+    return _profile_kernel(lambda d: np.exp(-0.5 * d), kernel_size, cov, grid)
 
 
-def bivariate_generalized_gaussian(kernel_size, sig_x, sig_y, theta, beta, grid=None, isotropic=True):
-    if grid is None:
-        grid, _, _ = _mesh_grid(kernel_size)
-    if isotropic:
-        sigma_matrix = np.array([[sig_x**2, 0], [0, sig_x**2]])
-    else:
-        sigma_matrix = sigma_matrix2(sig_x, sig_y, theta)
-    inverse_sigma = np.linalg.inv(sigma_matrix)
-    kernel = np.exp(-0.5 * np.power(np.sum(np.dot(grid, inverse_sigma) * grid, 2), beta))
-    return kernel / np.sum(kernel)
+def bivariate_generalized_gaussian(kernel_size, sig_x, sig_y, theta, beta,
+                                   grid=None, isotropic=True):
+    cov = _covariance(sig_x, sig_y, theta, isotropic)
+    return _profile_kernel(
+        lambda d: np.exp(-0.5 * np.power(d, beta)), kernel_size, cov, grid
+    )
 
 
-def bivariate_plateau(kernel_size, sig_x, sig_y, theta, beta, grid=None, isotropic=True):
-    if grid is None:
-        grid, _, _ = _mesh_grid(kernel_size)
-    if isotropic:
-        sigma_matrix = np.array([[sig_x**2, 0], [0, sig_x**2]])
-    else:
-        sigma_matrix = sigma_matrix2(sig_x, sig_y, theta)
-    inverse_sigma = np.linalg.inv(sigma_matrix)
-    kernel = np.reciprocal(np.power(np.sum(np.dot(grid, inverse_sigma) * grid, 2), beta) + 1)
-    return kernel / np.sum(kernel)
+def bivariate_plateau(kernel_size, sig_x, sig_y, theta, beta, grid=None,
+                      isotropic=True):
+    cov = _covariance(sig_x, sig_y, theta, isotropic)
+    return _profile_kernel(
+        lambda d: np.reciprocal(np.power(d, beta) + 1), kernel_size, cov, grid
+    )
 
 
 def circular_lowpass_kernel(cutoff: float, kernel_size: int, pad_to: int = 0) -> np.ndarray:
-    """2-D sinc filter (ringing/overshoot degradation)."""
+    """2-D sinc (ideal circular low-pass) filter for ringing/overshoot
+    degradations: k(r) = cutoff * J1(cutoff*r) / (2*pi*r), the inverse
+    Fourier transform of a disc of radius ``cutoff``."""
     assert kernel_size % 2 == 1, "Kernel size must be an odd number."
     from scipy import special  # scipy ships with the image
 
-    kernel = np.fromfunction(
-        lambda x, y: cutoff
-        * special.j1(
-            cutoff * np.sqrt((x - (kernel_size - 1) / 2) ** 2 + (y - (kernel_size - 1) / 2) ** 2)
-        )
-        / (
-            2
-            * np.pi
-            * np.sqrt((x - (kernel_size - 1) / 2) ** 2 + (y - (kernel_size - 1) / 2) ** 2)
-        ),
-        [kernel_size, kernel_size],
-    )
+    ax = np.arange(kernel_size) - (kernel_size - 1) / 2.0
+    r = np.hypot(ax[:, None], ax[None, :])
+    with np.errstate(invalid="ignore", divide="ignore"):
+        kernel = cutoff * special.j1(cutoff * r) / (2 * np.pi * r)
     kernel[(kernel_size - 1) // 2, (kernel_size - 1) // 2] = cutoff**2 / (4 * np.pi)
-    kernel = kernel / np.sum(kernel)
+    kernel = kernel / kernel.sum()
     if pad_to > kernel_size:
-        pad_size = (pad_to - kernel_size) // 2
-        kernel = np.pad(kernel, ((pad_size, pad_size), (pad_size, pad_size)))
+        pad = (pad_to - kernel_size) // 2
+        kernel = np.pad(kernel, ((pad, pad), (pad, pad)))
     return kernel
 
 
 def random_bivariate_gaussian(
-    kernel_size, sigma_x_range, sigma_y_range=None, rotation_range=(-math.pi, math.pi),
-    noise_range=None, isotropic=True,
+    kernel_size, sigma_x_range, sigma_y_range=None,
+    rotation_range=(-math.pi, math.pi), noise_range=None, isotropic=True,
 ):
-    sigma_x = np.random.uniform(sigma_x_range[0], sigma_x_range[1])
+    sigma_x = np.random.uniform(*sigma_x_range)
     if isotropic:
         sigma_y, rotation = sigma_x, 0.0
     else:
-        sigma_y = np.random.uniform(sigma_y_range[0], sigma_y_range[1])
-        rotation = np.random.uniform(rotation_range[0], rotation_range[1])
-    kernel = bivariate_gaussian(kernel_size, sigma_x, sigma_y, rotation, isotropic=isotropic)
+        sigma_y = np.random.uniform(*sigma_y_range)
+        rotation = np.random.uniform(*rotation_range)
+    kernel = bivariate_gaussian(kernel_size, sigma_x, sigma_y, rotation,
+                                isotropic=isotropic)
     if noise_range is not None:
-        noise = np.random.uniform(noise_range[0], noise_range[1], size=kernel.shape)
-        kernel = kernel * noise
-    return kernel / np.sum(kernel)
+        kernel = kernel * np.random.uniform(*noise_range, size=kernel.shape)
+    return kernel / kernel.sum()
 
 
 def random_mixed_kernels(
@@ -127,36 +150,44 @@ def random_mixed_kernels(
 ) -> np.ndarray:
     """Sample one kernel from the mixed pool (iso/aniso x gaussian/
     generalized/plateau)."""
-    kernel_type = random.choices(kernel_list, kernel_prob)[0]
+    kind = random.choices(kernel_list, kernel_prob)[0]
     sx = np.random.uniform(*sigma_x_range)
     sy = np.random.uniform(*sigma_y_range)
     rot = np.random.uniform(*rotation_range)
     bg = np.random.uniform(*betag_range)
     bp = np.random.uniform(*betap_range)
-    if kernel_type == "iso":
-        kernel = bivariate_gaussian(kernel_size, sx, isotropic=True)
-    elif kernel_type == "aniso":
-        kernel = bivariate_gaussian(kernel_size, sx, sy, rot, isotropic=False)
-    elif kernel_type == "generalized_iso":
-        kernel = bivariate_generalized_gaussian(kernel_size, sx, sx, 0, bg, isotropic=True)
-    elif kernel_type == "generalized_aniso":
-        kernel = bivariate_generalized_gaussian(kernel_size, sx, sy, rot, bg, isotropic=False)
-    elif kernel_type == "plateau_iso":
-        kernel = bivariate_plateau(kernel_size, sx, sx, 0, bp, isotropic=True)
-    elif kernel_type == "plateau_aniso":
-        kernel = bivariate_plateau(kernel_size, sx, sy, rot, bp, isotropic=False)
-    else:
-        raise ValueError(f"unknown kernel type {kernel_type}")
+    builders = {
+        "iso": lambda: bivariate_gaussian(kernel_size, sx, isotropic=True),
+        "aniso": lambda: bivariate_gaussian(kernel_size, sx, sy, rot, isotropic=False),
+        "generalized_iso": lambda: bivariate_generalized_gaussian(
+            kernel_size, sx, sx, 0, bg, isotropic=True),
+        "generalized_aniso": lambda: bivariate_generalized_gaussian(
+            kernel_size, sx, sy, rot, bg, isotropic=False),
+        "plateau_iso": lambda: bivariate_plateau(kernel_size, sx, sx, 0, bp, isotropic=True),
+        "plateau_aniso": lambda: bivariate_plateau(kernel_size, sx, sy, rot, bp, isotropic=False),
+    }
+    if kind not in builders:
+        raise ValueError(f"unknown kernel type {kind}")
+    kernel = builders[kind]()
     if noise_range is not None:
-        noise = np.random.uniform(noise_range[0], noise_range[1], size=kernel.shape)
-        kernel = kernel * noise
-        kernel = kernel / np.sum(kernel)
+        kernel = kernel * np.random.uniform(*noise_range, size=kernel.shape)
+        kernel = kernel / kernel.sum()
     return kernel
 
 
 # ---------------------------------------------------------------------------
 # noise / jpeg
 # ---------------------------------------------------------------------------
+
+
+def _quantize(out: np.ndarray, clip: bool, rounds: bool) -> np.ndarray:
+    if clip and rounds:
+        return np.clip((out * 255.0).round(), 0, 255) / 255.0
+    if clip:
+        return np.clip(out, 0, 1)
+    if rounds:
+        return (out * 255.0).round() / 255.0
+    return out
 
 
 def generate_gaussian_noise(img: np.ndarray, sigma: float = 10, gray_noise: bool = False):
@@ -169,48 +200,31 @@ def generate_gaussian_noise(img: np.ndarray, sigma: float = 10, gray_noise: bool
 
 
 def add_gaussian_noise(img, sigma=10, clip=True, rounds=False, gray_noise=False):
-    noise = generate_gaussian_noise(img, sigma, gray_noise)
-    out = img + noise
-    if clip and rounds:
-        out = np.clip((out * 255.0).round(), 0, 255) / 255.0
-    elif clip:
-        out = np.clip(out, 0, 1)
-    elif rounds:
-        out = (out * 255.0).round() / 255.0
-    return out
+    return _quantize(img + generate_gaussian_noise(img, sigma, gray_noise), clip, rounds)
 
 
 def generate_poisson_noise(img: np.ndarray, scale: float = 1.0, gray_noise: bool = False):
     base = cv2.cvtColor(img, cv2.COLOR_BGR2GRAY) if gray_noise else img
-    vals = len(np.unique(base))
-    vals = 2 ** np.ceil(np.log2(vals))
-    out = np.float32(np.random.poisson(base * vals) / float(vals))
-    noise = out - base
+    vals = 2 ** np.ceil(np.log2(len(np.unique(base))))
+    noisy = np.float32(np.random.poisson(base * vals) / float(vals))
+    noise = noisy - base
     if gray_noise and img.ndim == 3:
         noise = noise[..., None]
     return noise * scale
 
 
 def add_poisson_noise(img, scale=1.0, clip=True, rounds=False, gray_noise=False):
-    noise = generate_poisson_noise(img, scale, gray_noise)
-    out = img + noise
-    if clip and rounds:
-        out = np.clip((out * 255.0).round(), 0, 255) / 255.0
-    elif clip:
-        out = np.clip(out, 0, 1)
-    elif rounds:
-        out = (out * 255.0).round() / 255.0
-    return out
+    return _quantize(img + generate_poisson_noise(img, scale, gray_noise), clip, rounds)
 
 
 def random_add_gaussian_noise(img, sigma_range=(0, 10), gray_prob=0, clip=True, rounds=False):
-    sigma = np.random.uniform(sigma_range[0], sigma_range[1])
+    sigma = np.random.uniform(*sigma_range)
     gray_noise = np.random.uniform() < gray_prob
     return add_gaussian_noise(img, sigma, clip, rounds, gray_noise)
 
 
 def random_add_poisson_noise(img, scale_range=(0, 1.0), gray_prob=0, clip=True, rounds=False):
-    scale = np.random.uniform(scale_range[0], scale_range[1])
+    scale = np.random.uniform(*scale_range)
     gray_noise = np.random.uniform() < gray_prob
     return add_poisson_noise(img, scale, clip, rounds, gray_noise)
 
@@ -224,5 +238,4 @@ def add_jpg_compression(img: np.ndarray, quality: float = 90) -> np.ndarray:
 
 
 def random_add_jpg_compression(img, quality_range: Tuple[float, float] = (90, 100)):
-    quality = np.random.uniform(quality_range[0], quality_range[1])
-    return add_jpg_compression(img, quality)
+    return add_jpg_compression(img, np.random.uniform(*quality_range))

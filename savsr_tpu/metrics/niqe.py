@@ -1,11 +1,21 @@
-"""NIQE no-reference metric (reference: lbasicsr/metrics/niqe.py).
+"""NIQE no-reference quality metric.
 
-Implements the NIQE pipeline — MSCN coefficients, (A)GGD feature fits over
-96x96 blocks at two scales, Mahalanobis distance to pristine MVG statistics.
-The pristine parameters (mu_pris_param, cov_pris_param, gaussian_window) are
-a trained asset not shipped in this repo (the reference expects
-``niqe_pris_params.npz`` alongside its module, which its repo also does not
-contain); pass ``pris_params_path`` or place the file next to this module.
+Functional parity with lbasicsr/metrics/niqe.py (itself the BasicSR port of
+Mittal et al., "Making a 'Completely Blind' Image Quality Analyzer", 2013),
+re-derived from the published algorithm with a block-vectorized layout:
+
+1. MSCN coefficients: local mean/std via a Gaussian window, replicate
+   borders, ``(img - mu) / (sigma + 1)``.
+2. Per 96x96 block (at scales 1 and 0.5): a GGD fit of the coefficients and
+   AGGD fits of the four orientation products -> 18 features per block/scale.
+3. Quality = Mahalanobis-style distance between the MVG of the test features
+   and the pristine MVG (``niqe_pris_params.npz`` — a trained asset shipped
+   by BasicSR releases, not re-derivable here; pass ``pris_params_path``).
+
+Unlike the reference's per-block Python loop, all blocks of a scale are fit
+in one vectorized pass: the AGGD shape parameter is solved by nearest-point
+lookup of the (monotone) ratio curve r(a) = G(2/a)^2 / (G(1/a) G(3/a)) over
+the standard a in [0.2, 10] grid for every block at once.
 """
 
 from __future__ import annotations
@@ -15,50 +25,82 @@ import os
 
 import cv2
 import numpy as np
+from scipy.special import gamma as _Gamma
 
 from ..utils.color_util import bgr2ycbcr
 from ..utils.registry import METRIC_REGISTRY
 from .metric_util import reorder_image
 
-
-def estimate_aggd_param(block: np.ndarray):
-    """Estimate AGGD (asymmetric generalized Gaussian) parameters."""
-    block = block.flatten()
-    gam = np.arange(0.2, 10.001, 0.001)
-    gam_reciprocal = np.reciprocal(gam)
-    r_gam = np.square(_gamma(2 * gam_reciprocal)) / (
-        _gamma(gam_reciprocal) * _gamma(3 * gam_reciprocal)
-    )
-
-    left_std = np.sqrt(np.mean(block[block < 0] ** 2)) if np.any(block < 0) else 0.0
-    right_std = np.sqrt(np.mean(block[block > 0] ** 2)) if np.any(block > 0) else 0.0
-    gammahat = left_std / right_std if right_std != 0 else np.inf
-    rhat = (np.mean(np.abs(block))) ** 2 / np.mean(block**2)
-    rhatnorm = (rhat * (gammahat**3 + 1) * (gammahat + 1)) / ((gammahat**2 + 1) ** 2)
-    array_position = np.argmin((r_gam - rhatnorm) ** 2)
-
-    alpha = gam[array_position]
-    beta_l = left_std * np.sqrt(_gamma(1 / alpha) / _gamma(3 / alpha))
-    beta_r = right_std * np.sqrt(_gamma(1 / alpha) / _gamma(3 / alpha))
-    return alpha, beta_l, beta_r
+# the standard NIQE shape-parameter search grid and its ratio curve,
+# precomputed once (r is monotone increasing in a on this range)
+_ALPHA_GRID = np.arange(0.2, 10.001, 0.001)
+_R_CURVE = _Gamma(2.0 / _ALPHA_GRID) ** 2 / (
+    _Gamma(1.0 / _ALPHA_GRID) * _Gamma(3.0 / _ALPHA_GRID)
+)
 
 
-def _gamma(x):
-    return np.vectorize(math.gamma)(x) if isinstance(x, np.ndarray) else math.gamma(x)
+def _nearest_alpha(ratio: np.ndarray) -> np.ndarray:
+    """For each target ratio, the grid alpha whose r(alpha) is closest.
+
+    Degenerate blocks (one-sided or constant samples) produce a non-finite
+    ratio; they resolve to the first grid point, the same fixed point an
+    argmin over an all-NaN/inf distance row yields in the classic form."""
+    finite = np.isfinite(ratio)
+    idx = np.searchsorted(_R_CURVE, np.where(finite, ratio, _R_CURVE[0]))
+    idx = np.clip(idx, 1, len(_R_CURVE) - 1)
+    pick_lower = np.abs(_R_CURVE[idx - 1] - ratio) <= np.abs(_R_CURVE[idx] - ratio)
+    idx = idx - pick_lower.astype(np.int64)
+    return _ALPHA_GRID[np.where(finite, idx, 0)]
 
 
-def compute_feature(block: np.ndarray) -> list:
-    """18-dim NIQE feature of one MSCN block."""
-    feat = []
-    alpha, beta_l, beta_r = estimate_aggd_param(block)
-    feat.extend([alpha, (beta_l + beta_r) / 2])
-    shifts = [[0, 1], [1, 0], [1, 1], [1, -1]]
-    for shift in shifts:
-        shifted = np.roll(block, shift, axis=(0, 1))
-        alpha, beta_l, beta_r = estimate_aggd_param(block * shifted)
-        mean = (beta_r - beta_l) * (_gamma(2 / alpha) / _gamma(1 / alpha))
-        feat.extend([alpha, mean, beta_l, beta_r])
-    return feat
+def fit_aggd(samples: np.ndarray):
+    """Vectorized AGGD fit over the last axis.
+
+    samples: [..., N] arrays of MSCN products. Returns (alpha, beta_l,
+    beta_r) each shaped [...]. The symmetric-GGD fit is the special case of
+    reading only alpha and averaging the betas.
+    """
+    neg = samples < 0
+    pos = samples > 0
+    # RMS over each side; an empty side is NaN (the classic formulation's
+    # mean-of-empty), which routes the block to the degenerate alpha below
+    # and a NaN beta for that side — later pooled out by nanmean/nancov
+    n_neg = neg.sum(axis=-1)
+    n_pos = pos.sum(axis=-1)
+    left_var = np.where(neg, samples, 0.0) ** 2
+    right_var = np.where(pos, samples, 0.0) ** 2
+    with np.errstate(divide="ignore", invalid="ignore"):
+        sigma_l = np.sqrt(left_var.sum(axis=-1) / np.where(n_neg > 0, n_neg, np.nan))
+        sigma_r = np.sqrt(right_var.sum(axis=-1) / np.where(n_pos > 0, n_pos, np.nan))
+        skew = np.where(sigma_r != 0, sigma_l / sigma_r, np.inf)
+        energy_ratio = np.abs(samples).mean(axis=-1) ** 2 / (samples**2).mean(axis=-1)
+        target = (
+            energy_ratio * (skew**3 + 1) * (skew + 1) / (skew**2 + 1) ** 2
+        )
+    alpha = _nearest_alpha(target)
+    scale_fix = np.sqrt(_Gamma(1.0 / alpha) / _Gamma(3.0 / alpha))
+    return alpha, sigma_l * scale_fix, sigma_r * scale_fix
+
+
+def _block_features(mscn_blocks: np.ndarray) -> np.ndarray:
+    """18 NIQE features per block; mscn_blocks is [n_blocks, bh, bw]."""
+    n = mscn_blocks.shape[0]
+    flat = mscn_blocks.reshape(n, -1)
+    alpha, beta_l, beta_r = fit_aggd(flat)
+    cols = [alpha, 0.5 * (beta_l + beta_r)]
+    for dy, dx in ((0, 1), (1, 0), (1, 1), (1, -1)):
+        paired = (mscn_blocks * np.roll(mscn_blocks, (dy, dx), axis=(1, 2))).reshape(n, -1)
+        a, bl, br = fit_aggd(paired)
+        mean_shift = (br - bl) * (_Gamma(2.0 / a) / _Gamma(1.0 / a))
+        cols.extend([a, mean_shift, bl, br])
+    return np.stack(cols, axis=1)
+
+
+def _mscn(img: np.ndarray, window: np.ndarray) -> np.ndarray:
+    mu = cv2.filter2D(img, -1, window, borderType=cv2.BORDER_REPLICATE)
+    second = cv2.filter2D(img * img, -1, window, borderType=cv2.BORDER_REPLICATE)
+    sigma = np.sqrt(np.abs(second - mu * mu))
+    return (img - mu) / (sigma + 1.0)
 
 
 def niqe_core(
@@ -69,47 +111,41 @@ def niqe_core(
     block_size_h: int = 96,
     block_size_w: int = 96,
 ) -> float:
+    """NIQE distance of one gray/Y image in [0, 255] (float, pre-rounded)."""
     assert img.ndim == 2, "Input image must be a gray/Y image."
-    h, w = img.shape
-    num_block_h = math.floor(h / block_size_h)
-    num_block_w = math.floor(w / block_size_w)
-    img = img[0 : num_block_h * block_size_h, 0 : num_block_w * block_size_w]
+    nbh = img.shape[0] // block_size_h
+    nbw = img.shape[1] // block_size_w
+    img = img[: nbh * block_size_h, : nbw * block_size_w]
 
-    distparam = []
-    for scale in (1, 2):
-        mu = cv2.filter2D(img, -1, gaussian_window, borderType=cv2.BORDER_REPLICATE)
-        sigma = np.sqrt(
-            np.abs(
-                cv2.filter2D(np.square(img), -1, gaussian_window, borderType=cv2.BORDER_REPLICATE)
-                - np.square(mu)
-            )
+    per_scale = []
+    for level in range(2):
+        bh, bw = block_size_h >> level, block_size_w >> level
+        mscn = _mscn(img, gaussian_window)
+        # [nbh, bh, nbw, bw] -> [nbw*nbh, bh, bw]; block index order is
+        # column-major (w outer) to match the reference feature ordering
+        blocks = (
+            mscn[: nbh * bh, : nbw * bw]
+            .reshape(nbh, bh, nbw, bw)
+            .transpose(2, 0, 1, 3)
+            .reshape(nbw * nbh, bh, bw)
         )
-        img_normalized = (img - mu) / (sigma + 1)
+        per_scale.append(_block_features(blocks))
+        if level == 0:
+            # MATLAB-convention antialiased bicubic half-scale, as the
+            # original NIQE pyramid specifies (reference niqe.py:122)
+            from ..data.resize import resize_np
 
-        feat = []
-        for idx_w in range(num_block_w):
-            for idx_h in range(num_block_h):
-                block = img_normalized[
-                    idx_h * block_size_h // scale : (idx_h + 1) * block_size_h // scale,
-                    idx_w * block_size_w // scale : (idx_w + 1) * block_size_w // scale,
-                ]
-                feat.append(compute_feature(block))
-        distparam.append(np.array(feat))
+            h2, w2 = img.shape[0] // 2, img.shape[1] // 2
+            img = resize_np(
+                (img / 255.0)[..., None], (h2, w2), mode="matlab", scale=(0.5, 0.5)
+            )[..., 0] * 255.0
 
-        if scale == 1:
-            img = cv2.resize(img / 255.0, dsize=None, fx=0.5, fy=0.5, interpolation=cv2.INTER_LINEAR)
-            img = img * 255.0
-
-    distparam = np.concatenate(distparam, axis=1)
-    mu_distparam = np.nanmean(distparam, axis=0)
-    distparam_no_nan = distparam[~np.isnan(distparam).any(axis=1)]
-    cov_distparam = np.cov(distparam_no_nan, rowvar=False)
-    invcov_param = np.linalg.pinv((cov_pris_param + cov_distparam) / 2)
-    quality = np.matmul(
-        np.matmul((mu_pris_param - mu_distparam), invcov_param),
-        np.transpose(mu_pris_param - mu_distparam),
-    )
-    return float(np.sqrt(quality))
+    feats = np.concatenate(per_scale, axis=1)  # [n_blocks, 36]
+    mu_test = np.nanmean(feats, axis=0)
+    cov_test = np.cov(feats[~np.isnan(feats).any(axis=1)], rowvar=False)
+    pooled_inv = np.linalg.pinv(0.5 * (cov_pris_param + cov_test))
+    d = mu_pris_param - mu_test
+    return float(np.sqrt(d @ pooled_inv @ d))
 
 
 @METRIC_REGISTRY.register()
@@ -129,10 +165,7 @@ def calculate_niqe(
             f"NIQE pristine parameters not found at {pris_params_path}; download "
             "niqe_pris_params.npz (BasicSR release asset) and pass pris_params_path."
         )
-    niqe_pris_params = np.load(pris_params_path)
-    mu_pris_param = niqe_pris_params["mu_pris_param"]
-    cov_pris_param = niqe_pris_params["cov_pris_param"]
-    gaussian_window = niqe_pris_params["gaussian_window"]
+    pris = np.load(pris_params_path)
 
     img = img.astype(np.float32)
     if input_order != "HW":
@@ -144,5 +177,9 @@ def calculate_niqe(
         img = np.squeeze(img)
     if crop_border != 0:
         img = img[crop_border:-crop_border, crop_border:-crop_border]
-    img = img.round()
-    return niqe_core(img, mu_pris_param, cov_pris_param, gaussian_window)
+    return niqe_core(
+        img.round(),
+        pris["mu_pris_param"],
+        pris["cov_pris_param"],
+        pris["gaussian_window"],
+    )
