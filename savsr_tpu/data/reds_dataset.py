@@ -39,10 +39,13 @@ def _val_partition(kind: str) -> List[str]:
 class REDSDataset(Dataset):
     """Fixed-scale windowed REDS training dataset."""
 
+    _center_windowed = True  # recurrent subclasses take any num_frame
+
     def __init__(self, opt: dict):
         self.opt = opt
         self.gt_root, self.lq_root = opt["dataroot_gt"], opt.get("dataroot_lq")
-        assert opt["num_frame"] % 2 == 1, "num_frame should be odd"
+        if self._center_windowed:
+            assert opt["num_frame"] % 2 == 1, "num_frame should be odd"
         self.num_frame = opt["num_frame"]
         self.num_half_frames = opt["num_frame"] // 2
 
@@ -200,6 +203,8 @@ class REDSRecurrentDataset(REDSDataset):
     """Recurrent REDS: consecutive num_frame sequence from a random start
     (reference reds_dataset.py:385-529)."""
 
+    _center_windowed = False
+
     def __getitem__(self, index: int):
         self._ensure_client()
         scale = self.opt["scale"]
@@ -243,6 +248,8 @@ class REDSRecurrentDataset(REDSDataset):
 class ASREDSRecurrentDataset(ASREDSDataset):
     """Recurrent arbitrary-scale REDS (reference reds_dataset.py:532-718):
     GT-only consecutive sequences + AS collate keeping full sequences."""
+
+    _center_windowed = False
 
     def __init__(self, opt: dict):
         super().__init__(opt)

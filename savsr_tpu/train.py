@@ -27,6 +27,7 @@ from .utils import (
     get_root_logger,
     get_time_str,
     init_tb_logger,
+    init_wandb_logger,
     make_exp_dirs,
     mkdir_and_rename,
     parse_options,
@@ -35,6 +36,17 @@ from .utils.options import copy_opt_file
 
 
 def init_tb_loggers(opt):
+    # wandb rides the tensorboard stream (reference train.py:36-40): init it
+    # before the SummaryWriter so sync_tensorboard catches the event files
+    if (
+        opt["logger"].get("wandb") is not None
+        and opt["logger"]["wandb"].get("project") is not None
+        and "debug" not in opt["name"]
+    ):
+        assert opt["logger"].get("use_tb_logger") is True, (
+            "should turn on tensorboard when using wandb"
+        )
+        init_wandb_logger(opt)
     tb_logger = None
     if (
         opt["logger"].get("use_tb_logger")

@@ -9,7 +9,7 @@ from .img_util import (
     imwrite,
     img2array,
 )
-from .logger import AvgTimer, MessageLogger, get_env_info, get_root_logger, init_tb_logger
+from .logger import AvgTimer, MessageLogger, get_env_info, get_root_logger, init_tb_logger, init_wandb_logger
 from .misc import (
     check_resume,
     get_time_str,
@@ -39,6 +39,7 @@ __all__ = [
     "img2array", "array2img", "crop_border",
     # logging
     "AvgTimer", "MessageLogger", "get_env_info", "get_root_logger", "init_tb_logger",
+    "init_wandb_logger",
     # misc
     "check_resume", "get_time_str", "make_exp_dirs", "mkdir_and_rename",
     "scandir", "set_random_seed", "sizeof_fmt",

@@ -125,6 +125,36 @@ class MessageLogger:
 
 
 @master_only
+def init_wandb_logger(opt: dict):
+    """Sync the tensorboard stream to Weights & Biases (reference
+    logger.py:125-143): resumable via ``logger.wandb.resume_id``. wandb is an
+    optional dependency — absence degrades to a warning."""
+    try:
+        import wandb
+    except ImportError:
+        get_root_logger().warning(
+            "wandb requested (logger.wandb.project set) but not installed; "
+            "skipping wandb sync."
+        )
+        return None
+
+    logger = get_root_logger()
+    project = opt["logger"]["wandb"]["project"]
+    resume_id = opt["logger"]["wandb"].get("resume_id")
+    if resume_id:
+        wandb_id, resume = resume_id, "allow"
+        logger.warning(f"Resume wandb logger with id={wandb_id}.")
+    else:
+        wandb_id, resume = wandb.util.generate_id(), "never"
+    wandb.init(
+        id=wandb_id, resume=resume, name=opt["name"], config=opt,
+        project=project, sync_tensorboard=True,
+    )
+    logger.info(f"Use wandb logger with id={wandb_id}; project={project}.")
+    return wandb_id
+
+
+@master_only
 def init_tb_logger(log_dir: str):
     try:
         from torch.utils.tensorboard import SummaryWriter
