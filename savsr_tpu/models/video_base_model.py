@@ -83,9 +83,12 @@ class VideoBaseModel(SRModel):
 
             if with_metrics:
                 if self.opt["val"].get("metrics_device", False):
-                    # fast on-device metrics for in-training validation:
-                    # float path (no uint8 rounding) — ~0.01-0.03 dB from the
-                    # canonical host metrics; final eval uses the host path
+                    # fast on-device metrics FOR IN-TRAINING MONITORING ONLY:
+                    # float path (no uint8 rounding) deviates 0.01-0.03 dB
+                    # from the canonical host metrics — more than half the
+                    # 0.05 dB parity budget. Never use metrics_device for
+                    # reported/benchmark numbers; final eval must take the
+                    # host path below.
                     results = self._device_metrics()
                     for metric_idx, r in enumerate(results):
                         self.metric_results[folder][int(frame_idx), metric_idx] += r

@@ -1,0 +1,323 @@
+"""Fused CHW 3x3/1x1 convolutions — the alignment-chain hot path.
+
+Why CHW (vs the model's NHWC): at SAVSR's alignment shapes (B=1, 64
+channels, 180x320 LQ), an NHWC conv is a [HW, 9*Cin] x [9*Cin, 64] matmul
+whose N=64 output lanes fill half the MXU columns; XLA measured ~18% of
+bf16 peak on the chain (PERF.md). In CHW the conv becomes
+Y[co, n] = sum_k W[co, k] X[k, n] with N = spatial (hundreds of full
+128-lane chunks), M = Cout and K = 3*Cin per dy-shift — 1.5 to 4.5 systolic
+chunks. Reference chain semantics: lbasicsr/archs/savsr_arch.py:399-464.
+
+Layout convention ("flat-padded CHW"): every tensor is [B, C, S] where the
+image lives row-major at width w+2 (one zero pad column each side), with
+h+2 padded rows, and one slab of guard zeros at each end:
+
+    S = (ns + 2) * th * (w + 2),  ns = ceil((h + 2) / th)
+
+Valid pixel (r, c) sits at flat G + (r+1)*(w+2) + (c+1), G = th*(w+2).
+In this convention a (dy, dx) conv tap is a PURE FLAT OFFSET of
+(dy-1)*(w+2) + (dx-1): no in-kernel reshapes or relayouts, ever. The
+kernel's epilogue re-zeros the pad ring via a precomputed mask so outputs
+stay in-convention and chain directly into the next conv.
+
+Per row-slab (grid B x (ns+2)):
+  1. DMA the input window [Cin, (th+2)*(w+2)+2] HBM->VMEM.
+  2. Build the dx-im2col [3*Cin, (th+2)*(w+2)] with three lane-shifted
+     copies (dx = 0, 1, 2) — 3x data, not 9x.
+  3. For dy in 0..2: accumulate W_dy [Cout, 3Cin] @ imcol[:, dy*(w+2):...]
+     in f32 (the dy shift is a flat slice offset).
+  4. Epilogue (all fused): +bias, +pre_add (Cin-split partial sums),
+     *out_scale (OSConv fa), LeakyReLU (abs form), *pad-mask, +residual.
+
+Eval-path engine (B small); training keeps the XLA NHWC forms whose
+backwards XLA schedules well.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def layout_params(h: int, w: int):
+    # row width padded to full 128-lane chunks: Mosaic block shapes need a
+    # 128-divisible trailing dim, and every dx/dy tap stays a flat offset
+    wp = _round_up(w + 2, 128)
+    # slab height: fixed at 8 rows so the worst-chain conv (Cin=192 ->
+    # imcol [640, 10*wp]) plus double-buffered blocks stays well under the
+    # 16MB VMEM limit at wp=384 (720p eval)
+    th = 8
+    ns = -(-(h + 2) // th)
+    block = th * wp
+    s_total = (ns + 2) * block
+    guard = block
+    return th, ns, wp, block, s_total, guard
+
+
+# ---------------------------------------------------------------------------
+# layout converters (XLA side)
+# ---------------------------------------------------------------------------
+
+
+def nhwc_to_chw(x: jnp.ndarray) -> jnp.ndarray:
+    """[B, H, W, C] -> flat-padded [B, C, S]."""
+    b, h, w, c = x.shape
+    th, ns, wp, block, s_total, guard = layout_params(h, w)
+    y = jnp.transpose(x, (0, 3, 1, 2))
+    y = jnp.pad(y, ((0, 0), (0, 0), (1, 1), (1, wp - w - 1)))
+    y = y.reshape(b, c, (h + 2) * wp)
+    tail = s_total - guard - (h + 2) * wp
+    return jnp.pad(y, ((0, 0), (0, 0), (guard, tail)))
+
+
+def chw_to_nhwc(x: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
+    """flat-padded [B, C, S] -> [B, H, W, C]."""
+    b, c, _ = x.shape
+    th, ns, wp, block, s_total, guard = layout_params(h, w)
+    y = x[:, :, guard : guard + (h + 2) * wp].reshape(b, c, h + 2, wp)
+    y = y[:, :, 1 : h + 1, 1 : w + 1]
+    return jnp.transpose(y, (0, 2, 3, 1))
+
+
+@functools.lru_cache(maxsize=64)
+def _pad_mask(h: int, w: int) -> np.ndarray:
+    """[1, S] f32: 1 on valid pixels, 0 on the pad ring / guards."""
+    th, ns, wp, block, s_total, guard = layout_params(h, w)
+    m = np.zeros((h + 2, wp), np.float32)
+    m[1 : h + 1, 1 : w + 1] = 1.0
+    full = np.zeros((s_total,), np.float32)
+    full[guard : guard + (h + 2) * wp] = m.reshape(-1)
+    return full[None]
+
+
+def pack_w3(w_hwio) -> jnp.ndarray:
+    """[3, 3, Cin, Cout] (HWIO) -> [3(dy), Cout, Kp], K = dx*Cin + ci,
+    zero-padded to Kp = roundup(3*Cin, 128) (the MXU pads partial 128-chunks
+    anyway, so the zero columns are free)."""
+    kh, kw, ci, co = w_hwio.shape
+    assert kh == 3 and kw == 3
+    w = jnp.transpose(w_hwio, (0, 3, 1, 2)).reshape(3, co, 3 * ci)
+    kp = _round_up(3 * ci, 128)
+    return jnp.pad(w, ((0, 0), (0, 0), (0, kp - 3 * ci)))
+
+
+# ---------------------------------------------------------------------------
+# kernels
+# ---------------------------------------------------------------------------
+
+
+def _body3(x_ref, w_ref, bias_ref, scale_ref, pre_ref, res_ref, mask_ref,
+           o_ref, imcol, acc, xslab, sem, *, cin, cout, th, wp, ns, lrelu,
+           use_pre, use_res, kpad):
+    bi = pl.program_id(0)
+    s = pl.program_id(1)
+    block = th * wp
+    el2 = (th + 2) * wp  # imcol columns
+
+    @pl.when((s >= 1) & (s <= ns))
+    def _compute():
+        # HBM DMA slices must be 128-lane aligned: take a full extra 128
+        # margin before the (wp-aligned) slab start; the dx shifts then read
+        # at lane offset 127+dx from VMEM (cheap rotation)
+        start = block + ((s - 1) * th - 1) * wp - 128
+        cp = pltpu.make_async_copy(
+            x_ref.at[bi, :, pl.ds(start, el2 + 256)], xslab, sem
+        )
+        cp.start()
+        cp.wait()
+
+        for dx in range(3):
+            imcol[pl.ds(dx * cin, cin), :] = xslab[:, pl.ds(127 + dx, el2)]
+        if kpad > 3 * cin:
+            # pad rows must be zero, not stale VMEM (0 * nan = nan)
+            imcol[pl.ds(3 * cin, kpad - 3 * cin), :] = jnp.zeros(
+                (kpad - 3 * cin, el2), imcol.dtype
+            )
+
+        a = jax.lax.dot_general(
+            w_ref[0], imcol[:, pl.ds(0, block)],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        for dy in (1, 2):
+            a += jax.lax.dot_general(
+                w_ref[dy], imcol[:, pl.ds(dy * wp, block)],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        y = a + bias_ref[:].astype(jnp.float32)
+        if use_pre:
+            y = y + pre_ref[:].astype(jnp.float32)
+        y = y * scale_ref[:].astype(jnp.float32)
+        if lrelu is not None:
+            la, lb = lrelu
+            y = la * y + lb * jnp.abs(y)
+        y = y * mask_ref[:]
+        if use_res:
+            y = y + res_ref[:].astype(jnp.float32)
+        o_ref[:] = y.astype(o_ref.dtype)
+
+    @pl.when((s < 1) | (s > ns))
+    def _guard():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+
+def _body1(x_ref, w_ref, bias_ref, scale_ref, pre_ref, res_ref, mask_ref,
+           o_ref, *, cout, lrelu, use_pre, use_res):
+    y = jax.lax.dot_general(
+        w_ref[:], x_ref[0],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    y = y + bias_ref[:].astype(jnp.float32)
+    if use_pre:
+        y = y + pre_ref[:].astype(jnp.float32)
+    y = y * scale_ref[:].astype(jnp.float32)
+    if lrelu is not None:
+        la, lb = lrelu
+        y = la * y + lb * jnp.abs(y)
+    y = y * mask_ref[:]
+    if use_res:
+        y = y + res_ref[:].astype(jnp.float32)
+    o_ref[:] = y.astype(o_ref.dtype)
+
+
+# ---------------------------------------------------------------------------
+# entry points
+# ---------------------------------------------------------------------------
+
+
+def _opt_spec(x, cout, block):
+    if x is None:
+        return (
+            jnp.zeros((1, 1, 1), jnp.bfloat16),
+            pl.BlockSpec((1, 1, 1), lambda bi, s: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            False,
+        )
+    return (
+        x,
+        pl.BlockSpec((1, cout, block), lambda bi, s: (bi, 0, s),
+                     memory_space=pltpu.VMEM),
+        True,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("h", "w", "lrelu"))
+def conv3x3_chw(x, w3, bias, out_scale, pre_add, residual, *, h, w,
+                lrelu=None):
+    """Flat-padded CHW 3x3 conv with fused epilogue.
+
+    x: [B, Cin, S]; w3: [B, 3, Cout, 3Cin] (per-sample; broadcast for
+    static weights); bias/out_scale: [Cout, 1] f32; pre_add/residual:
+    [B, Cout, S] or None; lrelu: (a, b) abs-form coefficients or None.
+    Epilogue order: +bias, +pre_add, *out_scale, lrelu, *mask, +residual.
+    """
+    b, cin, s_total = x.shape
+    th, ns, wp, block, s_expect, guard = layout_params(h, w)
+    assert s_total == s_expect, (s_total, s_expect)
+    assert w3.shape[3] == _round_up(3 * cin, 128), "use pack_w3"
+    cout = w3.shape[2]
+
+    pre, pre_spec, use_pre = _opt_spec(pre_add, cout, block)
+    res, res_spec, use_res = _opt_spec(residual, cout, block)
+    mask = jnp.asarray(_pad_mask(h, w))
+
+    kpad = w3.shape[3]
+    kernel = functools.partial(
+        _body3, cin=cin, cout=cout, th=th, wp=wp, ns=ns, lrelu=lrelu,
+        use_pre=use_pre, use_res=use_res, kpad=kpad,
+    )
+
+    def wrapped(x_ref, w_ref, bias_ref, scale_ref, pre_ref, res_ref,
+                mask_ref, o_ref, imcol, acc, xslab, sem):
+        kernel(x_ref, w_ref.at[0], bias_ref, scale_ref, pre_ref.at[0],
+               res_ref.at[0], mask_ref, o_ref.at[0], imcol, acc, xslab, sem)
+
+    out = pl.pallas_call(
+        wrapped,
+        out_shape=jax.ShapeDtypeStruct((b, cout, s_total), x.dtype),
+        grid=(b, ns + 2),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((1, 3, cout, w3.shape[3]), lambda bi, s: (bi, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pre_spec,
+            res_spec,
+            pl.BlockSpec((1, block), lambda bi, s: (0, s),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, cout, block), lambda bi, s: (bi, 0, s),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((kpad, (th + 2) * wp), x.dtype),
+            pltpu.VMEM((cout, block), jnp.float32),
+            pltpu.VMEM((cin, (th + 2) * wp + 256), x.dtype),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=_interpret(),
+    )(x, w3, bias, out_scale, pre, res, mask)
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("h", "w", "lrelu"))
+def conv1x1_chw(x, w1, bias, out_scale, pre_add, residual, *, h, w,
+                lrelu=None):
+    """Flat-padded CHW 1x1 conv (pure channel matmul) with fused epilogue.
+
+    w1: [Cout, Cin] (static — per-sample 1x1 weights are not needed in the
+    chain). Other args as conv3x3_chw.
+    """
+    b, cin, s_total = x.shape
+    th, ns, wp, block, s_expect, guard = layout_params(h, w)
+    assert s_total == s_expect
+    cout = w1.shape[0]
+
+    pre, pre_spec, use_pre = _opt_spec(pre_add, cout, block)
+    res, res_spec, use_res = _opt_spec(residual, cout, block)
+    mask = jnp.asarray(_pad_mask(h, w))
+
+    kernel = functools.partial(
+        _body1, cout=cout, lrelu=lrelu, use_pre=use_pre, use_res=use_res
+    )
+
+    def wrapped(x_ref, w_ref, bias_ref, scale_ref, pre_ref, res_ref,
+                mask_ref, o_ref):
+        kernel(x_ref, w_ref, bias_ref, scale_ref, pre_ref.at[0],
+               res_ref.at[0], mask_ref, o_ref.at[0])
+
+    out = pl.pallas_call(
+        wrapped,
+        out_shape=jax.ShapeDtypeStruct((b, cout, s_total), x.dtype),
+        grid=(b, ns + 2),
+        in_specs=[
+            pl.BlockSpec((1, cin, block), lambda bi, s: (bi, 0, s),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # w1 [Cout, Cin] whole
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pre_spec,
+            res_spec,
+            pl.BlockSpec((1, block), lambda bi, s: (0, s),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, cout, block), lambda bi, s: (bi, 0, s),
+                               memory_space=pltpu.VMEM),
+        interpret=_interpret(),
+    )(x, w1, bias, out_scale, pre, res, mask)
+    return out
