@@ -3,7 +3,8 @@
 Protocol (mirrors the intent of the reference harness,
 lbasicsr/metrics/runtime.py:10-67, adapted to this environment):
 (1,7,3,180,320) window -> x4 720p output frame, bf16 serving config
-(grouped dynamic-conv engine, default MXU precision).
+(flat-padded CHW Pallas conv engine for the alignment chain + trunk,
+default MXU precision).
 
 Two measurement details matter on this axon-tunneled chip:
   - the relay elides unconsumed async dispatches, so every timed call
@@ -51,11 +52,12 @@ def main():
 
     precision = os.environ.get("SAVSR_BENCH_PRECISION", "default")
     impl = os.environ.get("SAVSR_BENCH_OSCONV", "grouped")
+    conv_engine = os.environ.get("SAVSR_BENCH_CONV", "chw")
     use_bf16 = os.environ.get("SAVSR_BENCH_DTYPE", "bf16") == "bf16"
     model = SAVSR(
         num_in_ch=3, num_feat=64, num_frame=7, slid_win=3, fusion_win=5,
         interval=0, w1_num_block=4, w2_num_block=2, n_resgroups=4, n_resblocks=8,
-        osconv_impl=impl, matmul_precision=precision,
+        osconv_impl=impl, matmul_precision=precision, conv_engine=conv_engine,
     )
     params = model.init(jax.random.PRNGKey(0))
     dtype = jnp.bfloat16 if use_bf16 else jnp.float32

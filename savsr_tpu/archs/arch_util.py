@@ -41,6 +41,10 @@ class Ctx:
     # row-gather): "auto" follows ``train``; "train"/"eval" force one side
     # (used by the train-vs-eval equivalence test)
     engines: str = "auto"
+    # conv backend for the alignment chain: "xla" (reference-exact NHWC) or
+    # "chw" (flat-padded CHW Pallas serving engine, eval-only — see
+    # archs/chw_engine.py)
+    conv_engine: str = "xla"
 
     @property
     def train_engines(self) -> bool:

@@ -1,0 +1,299 @@
+"""CHW serving engine for the alignment chain (eval-only).
+
+Runs WindowUnit_l1 (reference lbasicsr/archs/savsr_arch.py:418-464) entirely
+in the flat-padded CHW layout of ``ops/pallas/chw_conv`` — every 3x3/1x1
+conv is a Pallas kernel whose bias/LeakyReLU/residual epilogue is fused, and
+the OSConv2d attentions (ca/fa/sa/ka) are folded into the per-sample
+aggregated weight before it ships to the MXU, so activations go straight
+through ``y = W'x`` with no input pre-scaling pass.
+
+Layout boundaries: NHWC -> CHW at window entry (3 small frame tensors +
+h_past), CHW -> NHWC at the merge output. All intermediate features stay
+flat-padded CHW; channel concats are contiguous axis-1 block copies (the
+NHWC last-axis concats they replace were a measured 23.7 ms/forward copy
+hotspot, PERF.md).
+
+Engine gating: ``SAVSRConfig.conv_engine = "chw"`` and eval mode only — the
+Pallas kernels have no custom_vjp (training keeps the XLA NHWC forms whose
+backwards XLA schedules well). Numerics match the XLA engine to f32
+round-off; the serving path runs bf16 (full-size f32 blows the 16MB VMEM
+budget at 720p for the 192-input-channel convs).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List
+
+import jax.numpy as jnp
+
+from ..ops.pallas.chw_conv import (
+    _round_up,
+    chw_to_nhwc,
+    conv1x1_chw,
+    conv3x3_chw,
+    conv3x3_chw_parts,
+    nhwc_to_chw,
+    pack_w3,
+)
+
+# leaky_relu(0.2) in the kernels' abs form a*x + b*|x|
+LRELU = (0.6, 0.4)
+
+# widest Cin a single kernel call may take: the 720p im2col slab for
+# Cin=320 exceeds the 16MB VMEM budget; wider convs chain Cin-chunks
+# through the pre_add epilogue (conv3x3_chw_parts)
+MAX_CIN = 192
+
+
+def _group_parts(parts: List[jnp.ndarray], max_cin: int = MAX_CIN):
+    """Greedily group channel parts into chunks of total C <= max_cin.
+    Returns (chunked inputs, per-chunk channel offsets/sizes)."""
+    groups, cur, cur_c = [], [], 0
+    for p in parts:
+        c = p.shape[1]
+        if cur and cur_c + c > max_cin:
+            groups.append(cur)
+            cur, cur_c = [], 0
+        cur.append(p)
+        cur_c += c
+    groups.append(cur)
+    xs, spans, off = [], [], 0
+    for g in groups:
+        c = sum(p.shape[1] for p in g)
+        xs.append(g[0] if len(g) == 1 else jnp.concatenate(g, axis=1))
+        spans.append((off, c))
+        off += c
+    return xs, spans
+
+
+def pack_w3_batched(w_bklio: jnp.ndarray) -> jnp.ndarray:
+    """[B, 3, 3, Cin, Cout] per-sample HWIO banks -> [B, 3(dy), Cout, Kp]."""
+    b, _, _, ci, co = w_bklio.shape
+    w3 = jnp.transpose(w_bklio, (0, 1, 4, 2, 3)).reshape(b, 3, co, 3 * ci)
+    kp = _round_up(3 * ci, 128)
+    return jnp.pad(w3, ((0, 0), (0, 0), (0, 0), (0, kp - 3 * ci)))
+
+
+def conv3_cat(ctx, name: str, parts: List[jnp.ndarray], h: int, w: int,
+              lrelu=LRELU, residual=None) -> jnp.ndarray:
+    """conv3x3(concat(parts)) with automatic Cin chunking."""
+    xs, spans = _group_parts(parts)
+    dtype = parts[0].dtype
+    wt = ctx[f"{name}.weight"]
+    w3s = [pack_w3(wt[:, :, off : off + c, :]).astype(dtype) for off, c in spans]
+    cout = wt.shape[-1]
+    return conv3x3_chw_parts(xs, w3s, _bias_col(ctx, name, cout),
+                             _ones(cout), residual, h=h, w=w, lrelu=lrelu)
+
+
+def _bias_col(ctx, name: str, cout: int) -> jnp.ndarray:
+    b = ctx.params.get(f"{name}.bias")
+    if b is None:
+        return jnp.zeros((cout, 1), jnp.float32)
+    return b.astype(jnp.float32).reshape(cout, 1)
+
+
+def _ones(cout: int) -> jnp.ndarray:
+    return jnp.ones((cout, 1), jnp.float32)
+
+
+def _pad_cin(x: jnp.ndarray, mult: int = 8) -> jnp.ndarray:
+    """Pad the channel axis of a CHW tensor up to a sublane multiple —
+    Mosaic cannot DMA-slice sub-sublane channel counts (the 3/6-channel
+    window inputs)."""
+    c = x.shape[1]
+    pad = (-c) % mult
+    return x if pad == 0 else jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+
+
+def conv3(ctx, name: str, x, h: int, w: int, lrelu=LRELU, residual=None,
+          pre_add=None) -> jnp.ndarray:
+    """Named-parameter 3x3 conv on a flat-padded CHW tensor. ``x`` may
+    carry zero-padded extra channels (matching zero weight rows are added)."""
+    wt = ctx[f"{name}.weight"]
+    ci = wt.shape[2]
+    if x.shape[1] > ci:
+        wt = jnp.pad(wt, ((0, 0), (0, 0), (0, x.shape[1] - ci), (0, 0)))
+    w3 = pack_w3(wt).astype(x.dtype)
+    cout = w3.shape[1]
+    return conv3x3_chw(x, w3, _bias_col(ctx, name, cout), _ones(cout),
+                       pre_add, residual, h=h, w=w, lrelu=lrelu)
+
+
+def conv1(ctx, name: str, x, h: int, w: int, lrelu=LRELU, residual=None,
+          pre_add=None) -> jnp.ndarray:
+    w1 = ctx[f"{name}.weight"][0, 0].T.astype(x.dtype)  # HWIO -> [O, I]
+    cout = w1.shape[0]
+    return conv1x1_chw(x, w1, _bias_col(ctx, name, cout), _ones(cout),
+                       pre_add, residual, h=h, w=w, lrelu=lrelu)
+
+
+def osconv_agg(ctx, prefix: str, parts: List[jnp.ndarray], scale, h: int,
+               w: int) -> jnp.ndarray:
+    """Per-sample aggregated OSConv weight with all four attentions folded.
+
+    The reference applies ca to the input, (ka, sa) to the weight bank and
+    fa to the output (savsr_arch.py:139-172); all four are linear scalings,
+    so they fold into one aggregated weight W'[b,dy,dx,ci,co] =
+    ka-sum(sa * W) * ca[ci] * fa[co]. The fold runs in f32 on [B,3,3,Ci,Co]
+    (<2 MB) and casts once at pack time — numerically kinder than scaling
+    bf16 activations.
+    """
+    from .savsr_arch import osconv_attention
+
+    dtype = parts[0].dtype
+    hw = float(h * w)
+    # pads are zero by construction, so the valid-pixel mean is sum/(h*w)
+    gap = jnp.concatenate(
+        [p.sum(axis=2, dtype=jnp.float32) / hw for p in parts], axis=1
+    ).astype(dtype)
+    ca, fa, sa, ka = osconv_attention(ctx, prefix, gap, scale, kernel_size=3)
+
+    wbank = ctx[f"{prefix}weight"]  # [K, 3, 3, I, O] f32
+    agg = jnp.einsum("bK,Kklio->bklio", ka.astype(jnp.float32), wbank)
+    if sa is not None:
+        agg = agg * sa.astype(jnp.float32)[:, :, :, None, None]
+    agg = agg * ca.astype(jnp.float32)[:, None, None, :, None]
+    if fa is not None:
+        agg = agg * fa.astype(jnp.float32)[:, None, None, None, :]
+    return agg
+
+
+def osconv_chw(ctx, prefix: str, parts: List[jnp.ndarray], scale, h: int,
+               w: int, lrelu=None) -> jnp.ndarray:
+    """OSConv2d on CHW parts: attention-folded per-sample weight, Cin
+    chunked to the VMEM budget."""
+    dtype = parts[0].dtype
+    agg = osconv_agg(ctx, prefix, parts, scale, h, w)
+    cout = agg.shape[-1]
+    xs, spans = _group_parts(parts)
+    w3s = [pack_w3_batched(agg[:, :, :, off : off + c, :]).astype(dtype)
+           for off, c in spans]
+    return conv3x3_chw_parts(xs, w3s, jnp.zeros((cout, 1), jnp.float32),
+                             _ones(cout), None, h=h, w=w, lrelu=lrelu)
+
+
+def residual_block_chw(ctx, prefix: str, feats: List[jnp.ndarray], scale,
+                       use_osconv: bool, h: int, w: int) -> List[jnp.ndarray]:
+    """ResidualBlock (reference savsr_arch.py:379-415) on CHW features."""
+    n = len(feats)
+    x1 = [conv3(ctx, f"{prefix}conv0.{i}", feats[i], h, w) for i in range(n)]
+    if use_osconv:
+        base = osconv_chw(ctx, f"{prefix}osconv.", x1, scale, h, w, lrelu=LRELU)
+    else:
+        base = conv1(ctx, f"{prefix}conv1", jnp.concatenate(x1, axis=1), h, w)
+    out = []
+    for i in range(n):
+        y = conv3(ctx, f"{prefix}conv2.{i}",
+                  jnp.concatenate([base, x1[i]], axis=1), h, w,
+                  residual=feats[i])
+        out.append(y)
+    return out
+
+
+def window_l2_apply_chw(ctx, prefix: str, feats: List[jnp.ndarray], scale,
+                        win_size: int, slid_win: int, num_block: int = 2,
+                        hw=None) -> List[jnp.ndarray]:
+    """WindowUnit_l2 (reference savsr_arch.py:467-501) on the CHW engine.
+    feats: hidden-state pairs, NHWC [B, H, W, 2C] or flat-padded CHW
+    [B, 2C, S] (then ``hw`` gives the image size). Output layout matches
+    the input layout."""
+    chw_in = feats[0].ndim == 3
+    if chw_in:
+        h, w = hw
+    else:
+        h, w = feats[0].shape[1:3]
+        feats = [nhwc_to_chw(f) for f in feats]
+    h_feat = [
+        conv3(ctx, f"{prefix}conv_h.{i}", feats[i], h, w)
+        for i in range(win_size)
+    ]
+    out = h_feat if len(h_feat) == 1 else []
+    for i in range(win_size - slid_win + 1):
+        sw = h_feat[i : i + slid_win]
+        for bi in range(num_block):
+            sw = residual_block_chw(ctx, f"{prefix}blocks.{bi}.", sw, scale,
+                                    use_osconv=True, h=h, w=w)
+        out.append(conv3_cat(ctx, f"{prefix}merge", sw, h, w, lrelu=None))
+    if chw_in:
+        return out
+    return [chw_to_nhwc(o, h, w) for o in out]
+
+
+def rcab_chw(ctx, prefix: str, x, h: int, w: int) -> jnp.ndarray:
+    """Residual channel-attention block (reference rcan RCAB) on CHW."""
+    from .savsr_arch import _fc1x1
+    from .arch_util import sigmoid
+
+    y = conv3(ctx, f"{prefix}rcab.0", x, h, w, lrelu=(0.5, 0.5))  # relu
+    y = conv3(ctx, f"{prefix}rcab.2", y, h, w, lrelu=None)
+    a = (y.sum(axis=2, dtype=jnp.float32) / float(h * w)).astype(y.dtype)
+    a = jnp.maximum(_fc1x1(ctx, f"{prefix}rcab.3.attention.1", a), 0)
+    a = sigmoid(_fc1x1(ctx, f"{prefix}rcab.3.attention.3", a))
+    return y * a[:, :, None] + x
+
+
+def residual_group_chw(ctx, prefix: str, x, num_block: int, h: int,
+                       w: int) -> jnp.ndarray:
+    y = x
+    for i in range(num_block):
+        y = rcab_chw(ctx, f"{prefix}residual_group.{i}.", y, h, w)
+    return conv3(ctx, f"{prefix}conv", y, h, w, lrelu=None, residual=x)
+
+
+def osadapt_chw(ctx, prefix: str, x, scale, h: int, w: int) -> jnp.ndarray:
+    """OSAdapt on CHW: the tiny mask head stays NHWC/XLA (16-channel convs
+    with BN + stride-2 pool don't fit the flat-offset convention); the
+    64-channel adapt OSConv runs on the Pallas kernel."""
+    from .savsr_arch import osadapt_mask
+
+    m = osadapt_mask(ctx, prefix, chw_to_nhwc(x, h, w))  # [B, H, W, 1]
+    adapted = osconv_chw(ctx, f"{prefix}adapt.", [x], scale, h, w)
+    return x + adapted * nhwc_to_chw(m)
+
+
+def trunk_apply_chw(ctx, h_feat, scale, n_resgroups: int, n_resblocks: int,
+                    hw=None):
+    """h_win_conv_h + RCAN trunk with OSAdapt residual adapters (reference
+    savsr_arch.py:692-706) on CHW. h_feat: NHWC [B, H, W, 2C] or CHW
+    [B, 2C, S] with ``hw``; returns (h_feat, align_feat) NHWC."""
+    if h_feat.ndim == 3:
+        h, w = hw
+    else:
+        h, w = h_feat.shape[1:3]
+        h_feat = nhwc_to_chw(h_feat)
+    x = conv3(ctx, "h_win_conv_h", h_feat, h, w)
+    share = x
+    gamma = ctx["gamma"].astype(x.dtype)
+    for i in range(n_resgroups):
+        g = residual_group_chw(ctx, f"RG.{i}.", x, n_resblocks, h, w)
+        g = osadapt_chw(ctx, f"adapt.{i}.", g, scale, h, w)
+        x = g + gamma * share
+    x = conv3(ctx, "conv_last", x, h, w, lrelu=None, residual=share)
+    return chw_to_nhwc(x, h, w), chw_to_nhwc(share, h, w)
+
+
+def window_l1_apply_chw(ctx, prefix: str, x, h_past, scale,
+                        num_block: int = 4, out_chw: bool = False) -> jnp.ndarray:
+    """WindowUnit_l1 on the CHW engine. x: [B, T=3, H, W, C_in] NHWC window;
+    h_past: [B, H, W, C] NHWC or flat-padded CHW [B, C, S] (the eval scan
+    carries CHW so hidden states never round-trip through NHWC)."""
+    b, t, h, w, _ = x.shape
+    x_c = _pad_cin(nhwc_to_chw(x[:, t // 2]))
+    sup = jnp.concatenate([x[:, i] for i in range(t) if i != t // 2], axis=-1)
+    x_sup = _pad_cin(nhwc_to_chw(sup))
+    if h_past.ndim == 4:
+        h_past = nhwc_to_chw(h_past)
+    feats = [
+        conv3(ctx, f"{prefix}conv_c", x_c, h, w),
+        conv3(ctx, f"{prefix}conv_sup", x_sup, h, w),
+        h_past,
+    ]
+    for i in range(num_block):
+        feats = residual_block_chw(ctx, f"{prefix}blocks.{i}.", feats, scale,
+                                   use_osconv=(i >= 1), h=h, w=w)
+    merged = conv3_cat(ctx, f"{prefix}merge", feats, h, w, lrelu=None)
+    if out_chw:
+        return merged
+    return chw_to_nhwc(merged, h, w)

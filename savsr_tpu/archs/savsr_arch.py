@@ -151,6 +151,23 @@ def osconv_init(
     ic.linear(f"{prefix}scale_routing.2", in_planes * 2, in_planes)
 
 
+def osconv_attention(
+    ctx: Ctx, prefix: str, gap: jnp.ndarray, scale: Scale, kernel_size: int,
+    temperature: float = 1.0,
+):
+    """Scale-routed attention heads from a [B, Cin] GAP vector (reference
+    forward pre-amble, savsr_arch.py:139-150). Shared by the XLA and CHW
+    engines so the routing math cannot fork."""
+    b, dtype = gap.shape[0], gap.dtype
+    scale_info = jnp.tile(
+        jnp.asarray([[1.0 / scale[0], 1.0 / scale[1]]], dtype=dtype), (b, 1)
+    )
+    r = jnp.concatenate([scale_info, gap], axis=1)
+    r = jax.nn.relu(linear(ctx, f"{prefix}scale_routing.0", r))
+    r = jax.nn.relu(linear(ctx, f"{prefix}scale_routing.2", r))
+    return scale_attention_apply(ctx, f"{prefix}attention.", r, kernel_size, temperature)
+
+
 def osconv_apply_module(
     ctx: Ctx, prefix: str, x, scale: Scale,
     stride: int = 1, padding: int = 1, impl: str = "einsum",
@@ -171,17 +188,8 @@ def osconv_apply_module(
     weight = ctx[f"{prefix}weight"]  # [K, kh, kw, I, O]
     kernel_size = weight.shape[1]
 
-    scale_info = jnp.tile(
-        jnp.asarray([[1.0 / scale[0], 1.0 / scale[1]]], dtype=dtype), (b, 1)
-    )
     gap = jnp.concatenate([adaptive_avg_pool_11(p) for p in parts], axis=1)
-    r = jnp.concatenate([scale_info, gap], axis=1)
-    r = jax.nn.relu(linear(ctx, f"{prefix}scale_routing.0", r))
-    r = jax.nn.relu(linear(ctx, f"{prefix}scale_routing.2", r))
-
-    ca, fa, sa, ka = scale_attention_apply(
-        ctx, f"{prefix}attention.", r, kernel_size, temperature
-    )
+    ca, fa, sa, ka = osconv_attention(ctx, prefix, gap, scale, kernel_size, temperature)
 
     if impl == "pallas":
         # fully-fused path: attentions fold into the small aggregated weight
@@ -242,14 +250,20 @@ def osadapt_init(ic: InitCtx, prefix: str, channels: int, ratio: int = 4) -> Non
     osconv_init(ic, f"{prefix}adapt.", channels, channels, 3)
 
 
-def osadapt_apply(ctx: Ctx, prefix: str, x: jnp.ndarray, scale: Scale,
-                  impl: str = "einsum") -> jnp.ndarray:
+def osadapt_mask(ctx: Ctx, prefix: str, x: jnp.ndarray) -> jnp.ndarray:
+    """The downsample/upsample mask head of OSAdapt (reference
+    savsr_arch.py:190-205), NHWC. Shared by the XLA and CHW engines."""
     m = jax.nn.relu(batch_norm(ctx, f"{prefix}mask.1", conv2d(ctx, f"{prefix}mask.0", x, padding=1)))
     m = avg_pool2(m)
     m = jax.nn.relu(batch_norm(ctx, f"{prefix}mask.5", conv2d(ctx, f"{prefix}mask.4", m, padding=1)))
     m = jax.nn.relu(batch_norm(ctx, f"{prefix}mask.8", conv2d(ctx, f"{prefix}mask.7", m, padding=1)))
     m = upsample_bilinear_2x(m)
-    m = sigmoid(batch_norm(ctx, f"{prefix}mask.12", conv2d(ctx, f"{prefix}mask.11", m, padding=1)))
+    return sigmoid(batch_norm(ctx, f"{prefix}mask.12", conv2d(ctx, f"{prefix}mask.11", m, padding=1)))
+
+
+def osadapt_apply(ctx: Ctx, prefix: str, x: jnp.ndarray, scale: Scale,
+                  impl: str = "einsum") -> jnp.ndarray:
+    m = osadapt_mask(ctx, prefix, x)
     adapted = osconv_apply_module(ctx, f"{prefix}adapt.", x, scale, impl=impl)
     return x + adapted * m
 
@@ -481,6 +495,10 @@ def window_l1_apply(
     num_block: int = 4, impl: str = "einsum",
 ) -> jnp.ndarray:
     """x: [B, T=3, H, W, C_in] sliding window; h_past: [B, H, W, C]."""
+    if ctx.conv_engine == "chw" and not ctx.train_engines:
+        from .chw_engine import window_l1_apply_chw
+
+        return window_l1_apply_chw(ctx, prefix, x, h_past, scale, num_block)
     t = x.shape[1]
     x_c = x[:, t // 2]
     sup = [x[:, i] for i in range(t) if i != t // 2]
@@ -507,7 +525,13 @@ def window_l2_init(ic: InitCtx, prefix: str, num_feat: int, win_size: int = 5,
 def window_l2_apply(
     ctx: Ctx, prefix: str, feats: List[jnp.ndarray], scale: Scale,
     win_size: int, slid_win: int, num_block: int = 2, impl: str = "einsum",
+    hw=None,
 ) -> List[jnp.ndarray]:
+    if ctx.conv_engine == "chw" and not ctx.train_engines:
+        from .chw_engine import window_l2_apply_chw
+
+        return window_l2_apply_chw(ctx, prefix, feats, scale, win_size,
+                                   slid_win, num_block, hw=hw)
     h_feat = [
         leaky_relu(conv2d(ctx, f"{prefix}conv_h.{i}", feats[i], padding=1))
         for i in range(win_size)
@@ -575,6 +599,8 @@ class SAVSRConfig:
     osconv_impl: str = "einsum"
     # engine forcing for the train/eval implementation pairs (see Ctx.engines)
     engines: str = "auto"
+    # alignment-chain conv backend: "xla" | "chw" (Pallas serving engine)
+    conv_engine: str = "xla"
     # 'float32' reproduces the reference bit-for-bit-ish; 'bfloat16'/'default'
     # unlocks full-rate MXU matmuls for the perf path.
     matmul_precision: str = "float32"
@@ -689,7 +715,8 @@ def _ckpt_call(ctx: Ctx, fn, *args, remat: bool):
     base_params = ctx.params
 
     def wrapped(params, updates, args):
-        inner = Ctx({**params, **updates}, train=True, engines=ctx.engines)
+        inner = Ctx({**params, **updates}, train=True, engines=ctx.engines,
+                    conv_engine=ctx.conv_engine)
         out = fn(inner, *args)
         return out, inner.stats_updates
 
@@ -701,7 +728,8 @@ def _ckpt_call(ctx: Ctx, fn, *args, remat: bool):
 def _savsr_apply_inner(
     params: Params, x: jnp.ndarray, scale: Scale, cfg: SAVSRConfig, train: bool = False
 ):
-    ctx = Ctx(params, train=train, engines=cfg.engines)
+    ctx = Ctx(params, train=train, engines=cfg.engines,
+              conv_engine=cfg.conv_engine)
     b, t, h_input, w_input, c = x.shape
     H, W = get_hw(h_input, w_input, scale)
     impl = cfg.osconv_impl
@@ -762,17 +790,36 @@ def _savsr_apply_inner(
             [x_forward[:, idx : idx + cfg.slid_win] for idx in range(n_iter)]
         )
 
+        use_chw = ctx.conv_engine == "chw" and not ctx.train_engines
+        if use_chw:
+            # hidden states carried flat-padded CHW: window outputs feed the
+            # next window / window_l2 / trunk with no NHWC round trips and
+            # contiguous axis-1 channel concats
+            from ..ops.pallas.chw_conv import layout_params
+            from .chw_engine import window_l1_apply_chw
+
+            s_total = layout_params(hp, wp)[4]
+            ht_f2p = jnp.zeros((b, cfg.num_feat, s_total), dtype=x.dtype)
+            ht_p2f = jnp.zeros_like(ht_f2p)
+
         def body(carry, xs):
             hf, hp_ = carry
             it_b, it_f = xs
-            hf = window_l1_apply(ctx, "f2p_win.", it_b, hf, scale, cfg.w1_num_block, impl)
-            hp_ = window_l1_apply(ctx, "p2f_win.", it_f, hp_, scale, cfg.w1_num_block, impl)
+            if use_chw:
+                hf = window_l1_apply_chw(ctx, "f2p_win.", it_b, hf, scale,
+                                         cfg.w1_num_block, out_chw=True)
+                hp_ = window_l1_apply_chw(ctx, "p2f_win.", it_f, hp_, scale,
+                                          cfg.w1_num_block, out_chw=True)
+            else:
+                hf = window_l1_apply(ctx, "f2p_win.", it_b, hf, scale, cfg.w1_num_block, impl)
+                hp_ = window_l1_apply(ctx, "p2f_win.", it_f, hp_, scale, cfg.w1_num_block, impl)
             return (hf, hp_), (hf, hp_)
 
         _, (hf_seq, hp_seq) = jax.lax.scan(body, (ht_f2p, ht_p2f), (wins_b, wins_f))
         # f2p outputs were produced from the future end backwards
+        cat_axis = 1 if use_chw else -1
         h_feat = [
-            jnp.concatenate([hf_seq[n_iter - 1 - i], hp_seq[i]], axis=-1)
+            jnp.concatenate([hf_seq[n_iter - 1 - i], hp_seq[i]], axis=cat_axis)
             for i in range(n_iter)
         ]
     n_l2 = (cfg.iter_win - cfg.fusion_win + 1) // 2
@@ -781,29 +828,37 @@ def _savsr_apply_inner(
             ctx, f"h_win.{i}.", h_feat, scale,
             win_size=(cfg.iter_win - cfg.slid_win + 1) - 2 * i,
             slid_win=cfg.fusion_win, num_block=cfg.w2_num_block, impl=impl,
+            hw=(hp, wp),
         )
     h_feat = h_feat[0]
-    h_feat = leaky_relu(conv2d(ctx, "h_win_conv_h", h_feat, padding=1))
-    align_feat = h_feat
+    if ctx.conv_engine == "chw" and not ctx.train_engines:
+        from .chw_engine import trunk_apply_chw
 
-    # reconstruction trunk with scale-adaptive residual adapters
-    share_source = h_feat
-    gamma = ctx["gamma"].astype(x.dtype)
-
-    def _group(c, h, name_rg, name_ad):
-        h = residual_group_apply(c, name_rg, h, cfg.n_resblocks)
-        return osadapt_apply(c, name_ad, h, scale, impl)
-
-    for i in range(cfg.n_resgroups):
-        h_feat = _ckpt_call(
-            ctx,
-            functools.partial(_group, name_rg=f"RG.{i}.", name_ad=f"adapt.{i}."),
-            h_feat,
-            remat=cfg.remat_train,
+        h_feat, align_feat = trunk_apply_chw(
+            ctx, h_feat, scale, cfg.n_resgroups, cfg.n_resblocks, hw=(hp, wp)
         )
-        h_feat = h_feat + gamma * share_source
-    h_feat = conv2d(ctx, "conv_last", h_feat, padding=1)
-    h_feat = h_feat + share_source
+    else:
+        h_feat = leaky_relu(conv2d(ctx, "h_win_conv_h", h_feat, padding=1))
+        align_feat = h_feat
+
+        # reconstruction trunk with scale-adaptive residual adapters
+        share_source = h_feat
+        gamma = ctx["gamma"].astype(x.dtype)
+
+        def _group(c, h, name_rg, name_ad):
+            h = residual_group_apply(c, name_rg, h, cfg.n_resblocks)
+            return osadapt_apply(c, name_ad, h, scale, impl)
+
+        for i in range(cfg.n_resgroups):
+            h_feat = _ckpt_call(
+                ctx,
+                functools.partial(_group, name_rg=f"RG.{i}.", name_ad=f"adapt.{i}."),
+                h_feat,
+                remat=cfg.remat_train,
+            )
+            h_feat = h_feat + gamma * share_source
+        h_feat = conv2d(ctx, "conv_last", h_feat, padding=1)
+        h_feat = h_feat + share_source
 
     # arbitrary-scale upsampling on the un-padded region
     def _stau(c, h, a):

@@ -120,7 +120,7 @@ def pack_w3(w_hwio) -> jnp.ndarray:
 
 
 def _body3(x_ref, w_ref, bias_ref, scale_ref, pre_ref, res_ref, mask_ref,
-           o_ref, imcol, acc, xslab, sem, *, cin, cout, th, wp, ns, lrelu,
+           o_ref, imcol, xslab, sem, *, cin, cout, th, wp, ns, lrelu,
            use_pre, use_res, kpad):
     bi = pl.program_id(0)
     s = pl.program_id(1)
@@ -229,7 +229,12 @@ def conv3x3_chw(x, w3, bias, out_scale, pre_add, residual, *, h, w,
     b, cin, s_total = x.shape
     th, ns, wp, block, s_expect, guard = layout_params(h, w)
     assert s_total == s_expect, (s_total, s_expect)
+    if w3.ndim == 3:  # static [3, Cout, Kp] weight shared across the batch
+        w3 = w3[None]
     assert w3.shape[3] == _round_up(3 * cin, 128), "use pack_w3"
+    assert w3.shape[0] in (1, b)
+    wmap = (lambda bi, s: (0, 0, 0, 0)) if w3.shape[0] == 1 else (
+        lambda bi, s: (bi, 0, 0, 0))
     cout = w3.shape[2]
 
     pre, pre_spec, use_pre = _opt_spec(pre_add, cout, block)
@@ -243,17 +248,20 @@ def conv3x3_chw(x, w3, bias, out_scale, pre_add, residual, *, h, w,
     )
 
     def wrapped(x_ref, w_ref, bias_ref, scale_ref, pre_ref, res_ref,
-                mask_ref, o_ref, imcol, acc, xslab, sem):
+                mask_ref, o_ref, imcol, xslab, sem):
         kernel(x_ref, w_ref.at[0], bias_ref, scale_ref, pre_ref.at[0],
-               res_ref.at[0], mask_ref, o_ref.at[0], imcol, acc, xslab, sem)
+               res_ref.at[0], mask_ref, o_ref.at[0], imcol, xslab, sem)
 
     out = pl.pallas_call(
         wrapped,
         out_shape=jax.ShapeDtypeStruct((b, cout, s_total), x.dtype),
         grid=(b, ns + 2),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec((1, 3, cout, w3.shape[3]), lambda bi, s: (bi, 0, 0, 0),
+            # pin to HBM: Mosaic promotes small inputs to VMEM under ANY and
+            # then cannot slice sub-sublane channel counts (e.g. the 6-ch
+            # conv_sup input); the kernel's manual DMA needs an HBM source
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+            pl.BlockSpec((1, 3, cout, w3.shape[3]), wmap,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -266,13 +274,39 @@ def conv3x3_chw(x, w3, bias, out_scale, pre_add, residual, *, h, w,
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((kpad, (th + 2) * wp), x.dtype),
-            pltpu.VMEM((cout, block), jnp.float32),
             pltpu.VMEM((cin, (th + 2) * wp + 256), x.dtype),
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=_interpret(),
     )(x, w3, bias, out_scale, pre, res, mask)
     return out
+
+
+def conv3x3_chw_parts(parts, w3_parts, bias, out_scale, residual, *, h, w,
+                      lrelu=None, pre_add=None):
+    """conv3x3(concat(parts, C)) as a chain of Cin-split kernel calls linked
+    through the fused ``pre_add`` epilogue term.
+
+    Needed for wide inputs: at 720p the im2col slab for Cin=320 (window_l2's
+    5-frame OSConv/merge, reference savsr_arch.py:478-501) busts the 16MB
+    VMEM budget; each chunk here keeps its own slab small. Epilogue
+    (bias/scale/lrelu/residual) applies once, on the last call.
+    """
+    n = len(parts)
+    cout = bias.shape[0]
+    zeros = jnp.zeros((cout, 1), jnp.float32)
+    ones = jnp.ones((cout, 1), jnp.float32)
+    y = pre_add
+    for i, (p, w3) in enumerate(zip(parts, w3_parts)):
+        last = i == n - 1
+        y = conv3x3_chw(
+            p, w3,
+            bias if last else zeros,
+            out_scale if last else ones,
+            y, residual if last else None,
+            h=h, w=w, lrelu=lrelu if last else None,
+        )
+    return y
 
 
 @functools.partial(jax.jit, static_argnames=("h", "w", "lrelu"))

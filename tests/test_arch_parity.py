@@ -175,6 +175,33 @@ def test_savsr_full_parity_realsize(key, scale):
     assert deviation_psnr > 100, deviation_psnr  # ~1e-5 worst-case pixel error
 
 
+@pytest.mark.skipif(not os.environ.get("RUN_SLOW"), reason="slow: full-size model")
+@pytest.mark.parametrize("key,scale", [
+    ("y", (4.0, 4.0)),
+    ("y_1.5_3.5", (1.5, 3.5)),
+])
+def test_savsr_full_parity_realsize_chw_engine(key, scale):
+    """Full-size model on the CHW Pallas serving engine, f32, vs the torch
+    reference golden (the bf16 serving config's engine-vs-engine deviation
+    is measured separately in PERF.md: 62.4 dB)."""
+    params = _load_params("savsr_state_dict.npz")
+    path = os.path.join(GOLDEN_DIR, "savsr_realsize_forward.npz")
+    if not os.path.isfile(path):
+        pytest.skip("realsize golden not generated")
+    g = np.load(path)
+    if key not in g.files:
+        pytest.skip(f"{key} golden not generated")
+    x = jnp.asarray(g["x"].transpose(0, 1, 3, 4, 2))
+    ref = nchw_to_nhwc(g[key]).astype(np.float64)
+    model = SAVSR(conv_engine="chw")
+    y = np.asarray(
+        jax.jit(lambda p, x: model.apply(p, x, scale)[0])(params, x)
+    ).astype(np.float64)
+    mse = ((y - ref) ** 2).mean()
+    deviation_psnr = 10 * np.log10(1.0 / mse)
+    assert deviation_psnr > 100, deviation_psnr
+
+
 def test_savsr_init_matches_golden_structure():
     """A freshly initialized param dict has exactly the reference's keys and
     shapes (checkpoint-format parity)."""
