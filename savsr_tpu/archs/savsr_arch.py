@@ -377,6 +377,63 @@ def sta_conv(feat: jnp.ndarray, kernel: jnp.ndarray, st_ksize: int = 5) -> jnp.n
     return out
 
 
+def _stau_pixel_coords(offset, scale, h, w, dtype=jnp.float32):
+    """Unnormalized sampling coords [H, W] (fy, fx) for the fused sampler —
+    the exact composition of _stau_grid_sample's normalized grid and
+    grid_sample_bilinear's align_corners=True unnormalization."""
+    base = jnp.asarray(_stau_base_grid(h, w, scale), dtype=dtype)[0]  # [H,W,2]
+    off = offset[0].astype(dtype)
+    gx = base[..., 0] + off[..., 0] * (2.0 / (w - 1))
+    gy = base[..., 1] + off[..., 1] * (2.0 / (h - 1))
+    fx = (gx + 1.0) * 0.5 * (w - 1)
+    fy = (gy + 1.0) * 0.5 * (h - 1)
+    return fy, fx
+
+
+def _stau_fused(ctx, prefix, x, sta_feat, offset, st_offset, routing, scale,
+                band=8):
+    """Dispatch STAU sampling + experts + fusion to the fused Pallas kernel
+    (ops/pallas/stau_kernel.py)."""
+    from ..ops.pallas.chw_conv import _round_up
+    from ..ops.pallas.stau_kernel import stau_upsample_fused
+
+    b, h, w, c = x.shape
+    H, W = get_hw(h, w, scale)
+    wl = _round_up(w, 128)
+    wp = _round_up(W, 128)
+    band = min(band, h)
+    dtype = x.dtype
+
+    def rows(t):  # [B,h,w,C] -> [B,h,C,Wl]
+        t = jnp.transpose(t, (0, 1, 3, 2))
+        return jnp.pad(t, ((0, 0), (0, 0), (0, 0), (0, wl - w)))
+
+    fy_f, fx_f = _stau_pixel_coords(offset, scale, h, w)
+    fy_s, fx_s = _stau_pixel_coords(st_offset, scale, h, w)
+    rt = jnp.transpose(routing[0].astype(jnp.float32), (0, 2, 1))  # [H,n,W]
+    planes = jnp.stack([fy_f, fx_f, fy_s, fx_s], axis=1)           # [H,4,W]
+    pix = jnp.concatenate([planes, rt], axis=1)                    # [H,4+n,W]
+    pix = jnp.pad(pix, ((0, 0), (0, 8 - pix.shape[1]), (0, wp - W)))
+
+    def j0_of(fy):
+        m = jnp.floor(jnp.min(fy, axis=1)).astype(jnp.int32)
+        return jnp.clip(m, 0, h - band)
+
+    j0 = jnp.stack([j0_of(fy_f), j0_of(fy_s)], axis=1)  # [H, 2]
+
+    ce = c // 8
+    wc = ctx[f"{prefix}weight_compress"].astype(dtype).reshape(-1, c)
+    we = jnp.transpose(ctx[f"{prefix}weight_expand"].astype(dtype), (1, 0, 2)).reshape(c, -1)
+    wfus = ctx[f"{prefix}fusion.weight"][0, 0].T.astype(dtype)  # [C, 2C]
+    bias = ctx[f"{prefix}fusion.bias"].astype(jnp.float32).reshape(-1, 1)
+
+    out = stau_upsample_fused(
+        rows(x), rows(sta_feat), pix, j0, wc, we, wfus, bias,
+        R=band, h=h, w=w, W_hr=W,
+    )  # [B, H, C, Wp]
+    return jnp.transpose(out, (0, 1, 3, 2))[:, :, :W, :]
+
+
 def stau_apply(
     ctx: Ctx, prefix: str, x: jnp.ndarray, scale: Scale, st_feat: jnp.ndarray,
     channels: int, num_experts: int = 4, st_ksize: int = 5,
@@ -396,6 +453,10 @@ def stau_apply(
     offset = conv2d(ctx, f"{prefix}offset", emb)          # [1,H,W,2]
     st_offset = conv2d(ctx, f"{prefix}st_offset", emb)    # [1,H,W,2]
     routing = sigmoid(conv2d(ctx, f"{prefix}routing.0", emb))  # [1,H,W,n]
+
+    if ctx.conv_engine == "chw" and not ctx.train_engines:
+        return _stau_fused(ctx, prefix, x, sta_feat, offset, st_offset,
+                           routing, scale)
 
     # grid sample + spatially-varying compress/expand. The reference builds
     # per-pixel [C/8,C] and [C,C/8] matrices (savsr_arch.py:353-359); since

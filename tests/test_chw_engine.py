@@ -134,6 +134,36 @@ def test_window_l1_chw_engine_parity():
     assert np.abs(y_chw - ref).max() < 2e-5
 
 
+def test_stau_fused_parity():
+    """Fused STAU sampler kernel (hat-matmul bilinear + experts + fusion)
+    vs the XLA engine AND the reference torch golden."""
+    from savsr_tpu.archs.savsr_arch import stau_apply
+
+    params = _load_params("stau_state.npz")
+    path = os.path.join(GOLDEN_DIR, "module_io.npz")
+    if not os.path.isfile(path):
+        pytest.skip("module goldens not generated")
+    io = np.load(path)
+    x = jnp.asarray(io["stau_x"].transpose(0, 2, 3, 1))
+    st = jnp.asarray(io["stau_st"].transpose(0, 2, 3, 1))
+
+    @jax.jit
+    def fwd(p, x, st):
+        with jax.default_matmul_precision("float32"):
+            return stau_apply(Ctx(p, conv_engine="chw"), "", x, (2.5, 1.7), st, 32)
+
+    @jax.jit
+    def fwd_xla(p, x, st):
+        with jax.default_matmul_precision("float32"):
+            return stau_apply(Ctx(p), "", x, (2.5, 1.7), st, 32)
+
+    y = np.asarray(fwd(params, x, st))
+    y_xla = np.asarray(fwd_xla(params, x, st))
+    ref = io["stau_y"].transpose(0, 2, 3, 1)
+    assert np.abs(y - y_xla).max() < 2e-5
+    assert np.abs(y - ref).max() < 1e-4
+
+
 def test_savsr_small_chw_end_to_end_parity():
     """Full small model on the CHW engine (window_l1/l2 + trunk) vs the
     reference torch golden."""
