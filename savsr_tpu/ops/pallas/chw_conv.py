@@ -127,25 +127,40 @@ def _body3(x_ref, w_ref, bias_ref, scale_ref, pre_ref, res_ref, mask_ref,
     block = th * wp
     el2 = (th + 2) * wp  # imcol columns
 
-    @pl.when((s >= 1) & (s <= ns))
-    def _compute():
+    def slab_dma(slot, step):
         # HBM DMA slices must be 128-lane aligned: take a full extra 128
         # margin before the (wp-aligned) slab start; the dx shifts then read
         # at lane offset 127+dx from VMEM (cheap rotation)
-        start = block + ((s - 1) * th - 1) * wp - 128
-        cp = pltpu.make_async_copy(
-            x_ref.at[bi, :, pl.ds(start, el2 + 256)], xslab, sem
+        start = block + ((step - 1) * th - 1) * wp - 128
+        return pltpu.make_async_copy(
+            x_ref.at[bi, :, pl.ds(start, el2 + 256)], xslab.at[slot], sem.at[slot]
         )
-        cp.start()
-        cp.wait()
 
-        for dx in range(3):
-            imcol[pl.ds(dx * cin, cin), :] = xslab[:, pl.ds(127 + dx, el2)]
-        if kpad > 3 * cin:
-            # pad rows must be zero, not stale VMEM (0 * nan = nan)
+    # input slabs double-buffered across grid steps: the guard step s=0
+    # warms slot 1 for s=1; each compute step prefetches s+1 before waiting
+    @pl.when((s == 0) & (ns >= 1))
+    def _warm():
+        slab_dma(1, 1).start()
+
+    @pl.when((s >= 1) & (s < ns))
+    def _prefetch():
+        slab_dma((s + 1) % 2, s + 1).start()
+
+    if kpad > 3 * cin:
+        # pad rows must be zero, not stale VMEM (0 * nan = nan); scratch
+        # persists across the grid, so zero them once
+        @pl.when((bi == 0) & (s == 0))
+        def _zero():
             imcol[pl.ds(3 * cin, kpad - 3 * cin), :] = jnp.zeros(
                 (kpad - 3 * cin, el2), imcol.dtype
             )
+
+    @pl.when((s >= 1) & (s <= ns))
+    def _compute():
+        slot = s % 2
+        slab_dma(slot, s).wait()
+        for dx in range(3):
+            imcol[pl.ds(dx * cin, cin), :] = xslab[slot, :, pl.ds(127 + dx, el2)]
 
         a = jax.lax.dot_general(
             w_ref[0], imcol[:, pl.ds(0, block)],
@@ -274,8 +289,8 @@ def conv3x3_chw(x, w3, bias, out_scale, pre_add, residual, *, h, w,
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((kpad, (th + 2) * wp), x.dtype),
-            pltpu.VMEM((cin, (th + 2) * wp + 256), x.dtype),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((2, cin, (th + 2) * wp + 256), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=_interpret(),
     )(x, w3, bias, out_scale, pre, res, mask)
