@@ -36,8 +36,22 @@ import jax.numpy as jnp
 import numpy as np
 
 # Estimated reference (torch, fp32) throughput on A100 for
-# (1,7,3,180,320) -> x4 720p: dynamic-conv VSR models of SAVSR's size run
-# ~300-500 ms/window; we take 2.5 windows/sec as the A100 anchor.
+# (1,7,3,180,320) -> x4 720p. The reference publishes no latency numbers
+# (BASELINE.md); the anchor below is derived as follows and is the bench's
+# single largest uncertainty:
+#   - measured algorithmic cost of one window (XLA cost_analysis on the
+#     compiled forward): 0.75 TFLOP, 49.5 GB accessed at f32.
+#   - an fp32 A100 (19.5 TF/s dense peak / ~156 TF/s TF32) running the
+#     reference's torch graph — groups=B dynamic convs, per-pixel unfold
+#     sta_conv, grid_sample gathers, dozens of separate kernel launches
+#     per window — historically sustains low-single-digit percent of TF32
+#     peak on this op mix; HBM (~2 TB/s) bounds it at >=25 ms/window even
+#     at perfect bandwidth (49.5 GB).
+#   - 2.5 fps (400 ms/window) corresponds to ~1.2% TF32 util or ~6x the
+#     bandwidth bound — mid-range for unfused per-pixel-dynamic VSR
+#     models. The plausible A100 range is ~1-8 fps; at its optimistic
+#     edge (8 fps) the 3x-A100 target becomes 24 fps, so vs_baseline
+#     below should be read with that error bar.
 A100_FPS_ESTIMATE = 2.5
 TARGET_FPS = 3.0 * A100_FPS_ESTIMATE
 

@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import math
 from dataclasses import dataclass, field
-from typing import Dict, Tuple, Union
+from typing import Dict, Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -45,6 +45,12 @@ class Ctx:
     # "chw" (flat-padded CHW Pallas serving engine, eval-only — see
     # archs/chw_engine.py)
     conv_engine: str = "xla"
+    # bucketed any-scale eval operands (archs/bucketed.py): when set, the
+    # tensors live on a larger static canvas and every scale/shape-dependent
+    # quantity (pad masks, GAP normalization, STAU grids, resize matrices)
+    # comes from this dict instead of static shapes — one compiled program
+    # serves every (clip shape, scale) within the bucket
+    bucket: Optional[Dict[str, jnp.ndarray]] = None
 
     @property
     def train_engines(self) -> bool:

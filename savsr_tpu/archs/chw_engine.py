@@ -22,9 +22,9 @@ budget at 720p for the 192-input-channel convs).
 
 from __future__ import annotations
 
-import functools
 from typing import List
 
+import jax
 import jax.numpy as jnp
 
 from ..ops.pallas.chw_conv import (
@@ -42,13 +42,17 @@ LRELU = (0.6, 0.4)
 
 # widest Cin a single kernel call may take: the 720p im2col slab for
 # Cin=320 exceeds the 16MB VMEM budget; wider convs chain Cin-chunks
-# through the pre_add epilogue (conv3x3_chw_parts)
-MAX_CIN = 192
+# through the pre_add epilogue (conv3x3_chw_parts). f32 slabs are twice
+# the size, so the f32 (quality-eval) path chunks at 128.
+def _max_cin(dtype) -> int:
+    return 192 if jnp.dtype(dtype).itemsize <= 2 else 128
 
 
-def _group_parts(parts: List[jnp.ndarray], max_cin: int = MAX_CIN):
+def _group_parts(parts: List[jnp.ndarray], max_cin: int = None):
     """Greedily group channel parts into chunks of total C <= max_cin.
     Returns (chunked inputs, per-chunk channel offsets/sizes)."""
+    if max_cin is None:
+        max_cin = _max_cin(parts[0].dtype)
     groups, cur, cur_c = [], [], 0
     for p in parts:
         c = p.shape[1]
@@ -75,6 +79,10 @@ def pack_w3_batched(w_bklio: jnp.ndarray) -> jnp.ndarray:
     return jnp.pad(w3, ((0, 0), (0, 0), (0, 0), (0, kp - 3 * ci)))
 
 
+def _mask(ctx):
+    return None if ctx.bucket is None else ctx.bucket["mask_lr"]
+
+
 def conv3_cat(ctx, name: str, parts: List[jnp.ndarray], h: int, w: int,
               lrelu=LRELU, residual=None) -> jnp.ndarray:
     """conv3x3(concat(parts)) with automatic Cin chunking."""
@@ -84,7 +92,8 @@ def conv3_cat(ctx, name: str, parts: List[jnp.ndarray], h: int, w: int,
     w3s = [pack_w3(wt[:, :, off : off + c, :]).astype(dtype) for off, c in spans]
     cout = wt.shape[-1]
     return conv3x3_chw_parts(xs, w3s, _bias_col(ctx, name, cout),
-                             _ones(cout), residual, h=h, w=w, lrelu=lrelu)
+                             _ones(cout), residual, h=h, w=w, lrelu=lrelu,
+                             mask=_mask(ctx))
 
 
 def _bias_col(ctx, name: str, cout: int) -> jnp.ndarray:
@@ -118,7 +127,8 @@ def conv3(ctx, name: str, x, h: int, w: int, lrelu=LRELU, residual=None,
     w3 = pack_w3(wt).astype(x.dtype)
     cout = w3.shape[1]
     return conv3x3_chw(x, w3, _bias_col(ctx, name, cout), _ones(cout),
-                       pre_add, residual, h=h, w=w, lrelu=lrelu)
+                       pre_add, residual, h=h, w=w, lrelu=lrelu,
+                       mask=_mask(ctx))
 
 
 def conv1(ctx, name: str, x, h: int, w: int, lrelu=LRELU, residual=None,
@@ -126,7 +136,8 @@ def conv1(ctx, name: str, x, h: int, w: int, lrelu=LRELU, residual=None,
     w1 = ctx[f"{name}.weight"][0, 0].T.astype(x.dtype)  # HWIO -> [O, I]
     cout = w1.shape[0]
     return conv1x1_chw(x, w1, _bias_col(ctx, name, cout), _ones(cout),
-                       pre_add, residual, h=h, w=w, lrelu=lrelu)
+                       pre_add, residual, h=h, w=w, lrelu=lrelu,
+                       mask=_mask(ctx))
 
 
 def osconv_agg(ctx, prefix: str, parts: List[jnp.ndarray], scale, h: int,
@@ -143,10 +154,12 @@ def osconv_agg(ctx, prefix: str, parts: List[jnp.ndarray], scale, h: int,
     from .savsr_arch import osconv_attention
 
     dtype = parts[0].dtype
-    hw = float(h * w)
     # pads are zero by construction, so the valid-pixel mean is sum/(h*w)
+    # (under bucketed eval the true pixel count is an operand)
+    inv_hw = (ctx.bucket["inv_hw"] if ctx.bucket is not None
+              else jnp.float32(1.0 / (h * w)))
     gap = jnp.concatenate(
-        [p.sum(axis=2, dtype=jnp.float32) / hw for p in parts], axis=1
+        [p.sum(axis=2, dtype=jnp.float32) * inv_hw for p in parts], axis=1
     ).astype(dtype)
     ca, fa, sa, ka = osconv_attention(ctx, prefix, gap, scale, kernel_size=3)
 
@@ -171,7 +184,8 @@ def osconv_chw(ctx, prefix: str, parts: List[jnp.ndarray], scale, h: int,
     w3s = [pack_w3_batched(agg[:, :, :, off : off + c, :]).astype(dtype)
            for off, c in spans]
     return conv3x3_chw_parts(xs, w3s, jnp.zeros((cout, 1), jnp.float32),
-                             _ones(cout), None, h=h, w=w, lrelu=lrelu)
+                             _ones(cout), None, h=h, w=w, lrelu=lrelu,
+                             mask=_mask(ctx))
 
 
 def residual_block_chw(ctx, prefix: str, feats: List[jnp.ndarray], scale,
@@ -236,19 +250,55 @@ def rcab_chw(ctx, prefix: str, x, h: int, w: int) -> jnp.ndarray:
 
 def residual_group_chw(ctx, prefix: str, x, num_block: int, h: int,
                        w: int) -> jnp.ndarray:
-    y = x
-    for i in range(num_block):
-        y = rcab_chw(ctx, f"{prefix}residual_group.{i}.", y, h, w)
+    from .savsr_arch import _sub_ctx, stack_prefix_params
+
+    stacked = stack_prefix_params(
+        ctx.params, [f"{prefix}residual_group.{i}." for i in range(num_block)]
+    )
+
+    def body(y, p):
+        return rcab_chw(_sub_ctx(ctx, p), "", y, h, w), None
+
+    y, _ = jax.lax.scan(body, x, stacked)
     return conv3(ctx, f"{prefix}conv", y, h, w, lrelu=None, residual=x)
+
+
+def _osadapt_mask_bucketed(ctx, prefix: str, x_nhwc) -> jnp.ndarray:
+    """OSAdapt mask head on a bucketed canvas (reference savsr_arch.py:
+    190-205). Each BN/activation makes the invalid region nonzero, and the
+    next 3x3 conv would bleed it one row into the valid region, so the
+    canvas is re-masked after every stage; the stride-2 pool and bilinear
+    2x upsample become matmuls against true-size operand matrices (exact —
+    the edge clamp of the upsample lives in the matrix)."""
+    from .arch_util import batch_norm, conv2d, sigmoid
+
+    b = ctx.bucket
+    m2, m2h = b["m2d"], b["m2d_half"]
+    m = jax.nn.relu(batch_norm(ctx, f"{prefix}mask.1",
+                               conv2d(ctx, f"{prefix}mask.0", x_nhwc, padding=1))) * m2
+    m = jnp.einsum("Hh,bhwc->bHwc", b["pool_row"].astype(m.dtype), m)
+    m = jnp.einsum("Ww,bhwc->bhWc", b["pool_col"].astype(m.dtype), m)
+    m = jax.nn.relu(batch_norm(ctx, f"{prefix}mask.5",
+                               conv2d(ctx, f"{prefix}mask.4", m, padding=1))) * m2h
+    m = jax.nn.relu(batch_norm(ctx, f"{prefix}mask.8",
+                               conv2d(ctx, f"{prefix}mask.7", m, padding=1))) * m2h
+    m = jnp.einsum("Hh,bhwc->bHwc", b["up_row"].astype(m.dtype), m)
+    m = jnp.einsum("Ww,bhwc->bhWc", b["up_col"].astype(m.dtype), m)
+    m = sigmoid(batch_norm(ctx, f"{prefix}mask.12",
+                           conv2d(ctx, f"{prefix}mask.11", m, padding=1)))
+    return m * m2
 
 
 def osadapt_chw(ctx, prefix: str, x, scale, h: int, w: int) -> jnp.ndarray:
     """OSAdapt on CHW: the tiny mask head stays NHWC/XLA (16-channel convs
     with BN + stride-2 pool don't fit the flat-offset convention); the
     64-channel adapt OSConv runs on the Pallas kernel."""
-    from .savsr_arch import osadapt_mask
+    if ctx.bucket is not None:
+        m = _osadapt_mask_bucketed(ctx, prefix, chw_to_nhwc(x, h, w))
+    else:
+        from .savsr_arch import osadapt_mask
 
-    m = osadapt_mask(ctx, prefix, chw_to_nhwc(x, h, w))  # [B, H, W, 1]
+        m = osadapt_mask(ctx, prefix, chw_to_nhwc(x, h, w))  # [B, H, W, 1]
     adapted = osconv_chw(ctx, f"{prefix}adapt.", [x], scale, h, w)
     return x + adapted * nhwc_to_chw(m)
 
@@ -263,13 +313,21 @@ def trunk_apply_chw(ctx, h_feat, scale, n_resgroups: int, n_resblocks: int,
     else:
         h, w = h_feat.shape[1:3]
         h_feat = nhwc_to_chw(h_feat)
+    from .savsr_arch import _sub_ctx, stack_prefix_params
+
     x = conv3(ctx, "h_win_conv_h", h_feat, h, w)
     share = x
     gamma = ctx["gamma"].astype(x.dtype)
-    for i in range(n_resgroups):
-        g = residual_group_chw(ctx, f"RG.{i}.", x, n_resblocks, h, w)
-        g = osadapt_chw(ctx, f"adapt.{i}.", g, scale, h, w)
-        x = g + gamma * share
+    rg = stack_prefix_params(ctx.params, [f"RG.{i}." for i in range(n_resgroups)])
+    ad = stack_prefix_params(ctx.params, [f"adapt.{i}." for i in range(n_resgroups)])
+
+    def gbody(xc, leaves):
+        rg_p, ad_p = leaves
+        g = residual_group_chw(_sub_ctx(ctx, rg_p), "", xc, n_resblocks, h, w)
+        g = osadapt_chw(_sub_ctx(ctx, ad_p), "", g, scale, h, w)
+        return g + gamma * share, None
+
+    x, _ = jax.lax.scan(gbody, x, (rg, ad))
     x = conv3(ctx, "conv_last", x, h, w, lrelu=None, residual=share)
     return chw_to_nhwc(x, h, w), chw_to_nhwc(share, h, w)
 

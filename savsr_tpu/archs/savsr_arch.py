@@ -159,9 +159,12 @@ def osconv_attention(
     forward pre-amble, savsr_arch.py:139-150). Shared by the XLA and CHW
     engines so the routing math cannot fork."""
     b, dtype = gap.shape[0], gap.dtype
-    scale_info = jnp.tile(
-        jnp.asarray([[1.0 / scale[0], 1.0 / scale[1]]], dtype=dtype), (b, 1)
-    )
+    if ctx.bucket is not None:
+        scale_info = jnp.tile(ctx.bucket["scale_vec"][None].astype(dtype), (b, 1))
+    else:
+        scale_info = jnp.tile(
+            jnp.asarray([[1.0 / scale[0], 1.0 / scale[1]]], dtype=dtype), (b, 1)
+        )
     r = jnp.concatenate([scale_info, gap], axis=1)
     r = jax.nn.relu(linear(ctx, f"{prefix}scale_routing.0", r))
     r = jax.nn.relu(linear(ctx, f"{prefix}scale_routing.2", r))
@@ -359,6 +362,19 @@ def _stau_grid_sample(
     return grid_sample_bilinear_blockgather(x, grid, align_corners=True, padding_zeros=True)
 
 
+def _fill_edge_slack(x: jnp.ndarray, h_true, w_true, pad: int) -> jnp.ndarray:
+    """Replicate the last TRUE row/col of a bucketed NHWC canvas into the
+    next ``pad`` slack rows/cols (traced indices) — reproduces
+    replicate-pad-at-the-true-edge semantics on a larger static canvas."""
+    row = jax.lax.dynamic_slice_in_dim(x, h_true - 1, 1, axis=1)
+    for k in range(pad):
+        x = jax.lax.dynamic_update_slice_in_dim(x, row, h_true + k, axis=1)
+    col = jax.lax.dynamic_slice_in_dim(x, w_true - 1, 1, axis=2)
+    for k in range(pad):
+        x = jax.lax.dynamic_update_slice_in_dim(x, col, w_true + k, axis=2)
+    return x
+
+
 def sta_conv(feat: jnp.ndarray, kernel: jnp.ndarray, st_ksize: int = 5) -> jnp.ndarray:
     """Per-pixel spatio-temporal filtering (reference sta_conv,
     savsr_arch.py:297-313): feat [B,h,w,C] filtered by per-pixel ksize^2
@@ -377,10 +393,21 @@ def sta_conv(feat: jnp.ndarray, kernel: jnp.ndarray, st_ksize: int = 5) -> jnp.n
     return out
 
 
-def _stau_pixel_coords(offset, scale, h, w, dtype=jnp.float32):
+def _stau_pixel_coords(offset, scale, h, w, dtype=jnp.float32, bucket=None):
     """Unnormalized sampling coords [H, W] (fy, fx) for the fused sampler —
     the exact composition of _stau_grid_sample's normalized grid and
-    grid_sample_bilinear's align_corners=True unnormalization."""
+    grid_sample_bilinear's align_corners=True unnormalization. Under
+    bucketed eval the base grid / normalization factors are operands
+    (edge-padded to the bucket so per-row min/max band bounds stay tight)."""
+    if bucket is not None:
+        base = bucket["base_grid"].astype(dtype)
+        off = offset[0].astype(dtype)
+        gx = base[..., 0] + off[..., 0] * bucket["off_norm"][0]
+        gy = base[..., 1] + off[..., 1] * bucket["off_norm"][1]
+        # same association order as the static path: ((g+1)*0.5)*(size-1)
+        fx = (gx + 1.0) * 0.5 * bucket["size_m1"][0]
+        fy = (gy + 1.0) * 0.5 * bucket["size_m1"][1]
+        return fy, fx
     base = jnp.asarray(_stau_base_grid(h, w, scale), dtype=dtype)[0]  # [H,W,2]
     off = offset[0].astype(dtype)
     gx = base[..., 0] + off[..., 0] * (2.0 / (w - 1))
@@ -398,7 +425,11 @@ def _stau_fused(ctx, prefix, x, sta_feat, offset, st_offset, routing, scale,
     from ..ops.pallas.stau_kernel import stau_upsample_fused
 
     b, h, w, c = x.shape
-    H, W = get_hw(h, w, scale)
+    bucket = ctx.bucket
+    if bucket is not None:
+        H, W = bucket["base_grid"].shape[:2]
+    else:
+        H, W = get_hw(h, w, scale)
     wl = _round_up(w, 128)
     wp = _round_up(W, 128)
     band = min(band, h)
@@ -408,16 +439,22 @@ def _stau_fused(ctx, prefix, x, sta_feat, offset, st_offset, routing, scale,
         t = jnp.transpose(t, (0, 1, 3, 2))
         return jnp.pad(t, ((0, 0), (0, 0), (0, 0), (0, wl - w)))
 
-    fy_f, fx_f = _stau_pixel_coords(offset, scale, h, w)
-    fy_s, fx_s = _stau_pixel_coords(st_offset, scale, h, w)
+    if bucket is not None:
+        # zero beyond the pre-pad_spatial crop: the hat sums then reproduce
+        # the reference's zeros padding at the TRUE image border
+        x = x * bucket["m2d0"].astype(dtype)
+    fy_f, fx_f = _stau_pixel_coords(offset, scale, h, w, bucket=bucket)
+    fy_s, fx_s = _stau_pixel_coords(st_offset, scale, h, w, bucket=bucket)
     rt = jnp.transpose(routing[0].astype(jnp.float32), (0, 2, 1))  # [H,n,W]
     planes = jnp.stack([fy_f, fx_f, fy_s, fx_s], axis=1)           # [H,4,W]
     pix = jnp.concatenate([planes, rt], axis=1)                    # [H,4+n,W]
     pix = jnp.pad(pix, ((0, 0), (0, 8 - pix.shape[1]), (0, wp - W)))
 
+    h_valid = h if bucket is None else bucket["h_lr"]
+
     def j0_of(fy):
         m = jnp.floor(jnp.min(fy, axis=1)).astype(jnp.int32)
-        return jnp.clip(m, 0, h - band)
+        return jnp.clip(m, 0, h_valid - band)
 
     j0 = jnp.stack([j0_of(fy_f), j0_of(fy_s)], axis=1)  # [H, 2]
 
@@ -444,10 +481,24 @@ def stau_apply(
     # spatio-temporal adaptive filtering of x by kernels predicted from the
     # alignment feature
     kernel_warp = leaky_relu(conv2d(ctx, f"{prefix}kernel_conv.0", st_feat), 0.1)
-    sta_feat = sta_conv(x, kernel_warp, st_ksize)
+    if ctx.bucket is not None:
+        # sta_conv replicate-pads at the TRUE image edge: copy the last
+        # valid row/col into the bucket slack so the shifted taps see
+        # edge replicas, then re-zero the invalid region afterwards
+        pad = (st_ksize - 1) // 2
+        xf = _fill_edge_slack(x, ctx.bucket["h_lr"], ctx.bucket["w_lr"], pad)
+        # m2d0 marks the PRE-pad_spatial region: the reference crops to
+        # (h_input, w_input) before STAU (savsr_arch.py:738), so sampling
+        # must see zeros beyond it
+        sta_feat = sta_conv(xf, kernel_warp, st_ksize) * ctx.bucket["m2d0"]
+    else:
+        sta_feat = sta_conv(x, kernel_warp, st_ksize)
 
     # coordinate embedding -> routing / offsets (batch-size-1, broadcast)
-    inp = jnp.asarray(_stau_coordinate_input(h, w, scale), dtype=x.dtype)
+    if ctx.bucket is not None:
+        inp = ctx.bucket["coord_input"].astype(x.dtype)
+    else:
+        inp = jnp.asarray(_stau_coordinate_input(h, w, scale), dtype=x.dtype)
     emb = jax.nn.relu(conv2d(ctx, f"{prefix}body.0", inp))
     emb = jax.nn.relu(conv2d(ctx, f"{prefix}body.2", emb))
     offset = conv2d(ctx, f"{prefix}offset", emb)          # [1,H,W,2]
@@ -632,10 +683,37 @@ def residual_group_init(ic: InitCtx, prefix: str, num_feat: int, num_block: int)
     ic.conv(f"{prefix}conv", 3, 3, num_feat, num_feat)
 
 
+def stack_prefix_params(params: Params, prefixes: List[str]) -> Params:
+    """Stack the parameters under each prefix into [n, ...] leaves keyed by
+    the stripped suffix — the repeated trunk blocks become a lax.scan over
+    stacked weights in eval, shrinking the HLO (and the 40-60 s/program
+    remote compiles of the multi-scale eval sweep) by the repeat count."""
+    suffixes = sorted(
+        {k[len(prefixes[0]):] for k in params if k.startswith(prefixes[0])}
+    )
+    return {s: jnp.stack([params[p + s] for p in prefixes]) for s in suffixes}
+
+
+def _sub_ctx(ctx: Ctx, params: Params) -> Ctx:
+    return Ctx(params, train=ctx.train, engines=ctx.engines,
+               conv_engine=ctx.conv_engine, bucket=ctx.bucket)
+
+
 def residual_group_apply(ctx: Ctx, prefix: str, x: jnp.ndarray, num_block: int) -> jnp.ndarray:
-    y = x
-    for i in range(num_block):
-        y = rcab_apply(ctx, f"{prefix}residual_group.{i}.", y)
+    if not ctx.train:
+        stacked = stack_prefix_params(
+            ctx.params, [f"{prefix}residual_group.{i}." for i in range(num_block)]
+        )
+
+        def body(y, p):
+            return rcab_apply(_sub_ctx(ctx, p), "", y), None
+
+        y, _ = jax.lax.scan(body, x, stacked)
+    else:
+        # unrolled in training (keeps per-block remat segmentation simple)
+        y = x
+        for i in range(num_block):
+            y = rcab_apply(ctx, f"{prefix}residual_group.{i}.", y)
     return conv2d(ctx, f"{prefix}conv", y, padding=1) + x
 
 
@@ -906,18 +984,36 @@ def _savsr_apply_inner(
         share_source = h_feat
         gamma = ctx["gamma"].astype(x.dtype)
 
-        def _group(c, h, name_rg, name_ad):
-            h = residual_group_apply(c, name_rg, h, cfg.n_resblocks)
-            return osadapt_apply(c, name_ad, h, scale, impl)
+        if train:
+            def _group(c, h, name_rg, name_ad):
+                h = residual_group_apply(c, name_rg, h, cfg.n_resblocks)
+                return osadapt_apply(c, name_ad, h, scale, impl)
 
-        for i in range(cfg.n_resgroups):
-            h_feat = _ckpt_call(
-                ctx,
-                functools.partial(_group, name_rg=f"RG.{i}.", name_ad=f"adapt.{i}."),
-                h_feat,
-                remat=cfg.remat_train,
+            for i in range(cfg.n_resgroups):
+                h_feat = _ckpt_call(
+                    ctx,
+                    functools.partial(_group, name_rg=f"RG.{i}.", name_ad=f"adapt.{i}."),
+                    h_feat,
+                    remat=cfg.remat_train,
+                )
+                h_feat = h_feat + gamma * share_source
+        else:
+            # scan-rolled over stacked per-group params (identical math,
+            # ~n_resgroups x smaller HLO -> faster eval-sweep compiles)
+            rg = stack_prefix_params(
+                params, [f"RG.{i}." for i in range(cfg.n_resgroups)]
             )
-            h_feat = h_feat + gamma * share_source
+            ad = stack_prefix_params(
+                params, [f"adapt.{i}." for i in range(cfg.n_resgroups)]
+            )
+
+            def gbody(h, leaves):
+                rg_p, ad_p = leaves
+                h = residual_group_apply(_sub_ctx(ctx, rg_p), "", h, cfg.n_resblocks)
+                h = osadapt_apply(_sub_ctx(ctx, ad_p), "", h, scale, impl)
+                return h + gamma * share_source, None
+
+            h_feat, _ = jax.lax.scan(gbody, h_feat, (rg, ad))
         h_feat = conv2d(ctx, "conv_last", h_feat, padding=1)
         h_feat = h_feat + share_source
 

@@ -213,6 +213,9 @@ class SRModel(BaseModel):
     # ------------------------------------------------------------------ #
 
     def _forward_eval(self, params, lq, scale):
+        val_opt = self.opt.get("val") or {}
+        if val_opt.get("bucket_eval") and hasattr(self.net_g, "cfg"):
+            return self._forward_eval_bucketed(params, lq, scale, val_opt)
         key = ("fwd",)
         if key not in self._fwd_cache:
             @functools.partial(jax.jit, static_argnames=("scale",))
@@ -221,6 +224,49 @@ class SRModel(BaseModel):
                 return out
             self._fwd_cache[key] = fwd
         return self._fwd_cache[key](params, lq, scale)
+
+    def _forward_eval_bucketed(self, params, lq, scale, val_opt):
+        """Any-scale bucketed eval (archs/bucketed.py): every (clip shape,
+        scale) whose bucket matches shares ONE compiled program — the
+        multi-scale sweep compiles a handful of programs instead of one per
+        (shape, scale). Enable with ``val: bucket_eval: true``; bucket
+        granularity via ``val: bucket_mult: [16, 64]`` (LR, HR)."""
+        from ..archs.bucketed import (
+            make_bucket_operands,
+            pad_clip_to_bucket,
+            savsr_apply_bucketed,
+        )
+        from ..archs.savsr_arch import get_hw, normalize_scale
+
+        scale = normalize_scale(scale)
+        m_lr, m_hr = val_opt.get("bucket_mult", (16, 64))
+        h0, w0 = int(lq.shape[2]), int(lq.shape[3])
+        H, W = get_hw(h0, w0, scale)
+        rnd = lambda v, m: -(-v // m) * m
+        if val_opt.get("bucket_lr"):
+            # fixed buckets: the whole multi-scale sweep shares ONE program
+            lrb = tuple(val_opt["bucket_lr"])
+            hrb = tuple(val_opt["bucket_hr"])
+        else:
+            lrb = (rnd(h0 + 2, m_lr), rnd(w0 + 2, m_lr))
+            hrb = (rnd(H, m_hr), rnd(W, m_hr))
+
+        ops_key = (h0, w0, scale, lrb, hrb)
+        cached = getattr(self, "_bucket_ops", None)
+        if cached is None or cached[0] != ops_key:
+            # 1-entry cache: eval iterates a clip's frames consecutively,
+            # and the operand set (coordinate grids etc.) is several MB
+            self._bucket_ops = (ops_key, make_bucket_operands(h0, w0, scale, lrb, hrb))
+        ops = self._bucket_ops[1]
+
+        jit_key = ("bucket", lrb, hrb, lq.shape[0], lq.shape[1])
+        if jit_key not in self._fwd_cache:
+            self._fwd_cache[jit_key] = jax.jit(
+                lambda p, x, ops: savsr_apply_bucketed(p, x, ops, self.net_g.cfg)
+            )
+        canvas = jnp.asarray(pad_clip_to_bucket(np.asarray(lq), lrb))
+        out = self._fwd_cache[jit_key](params, canvas, ops)
+        return out[:, :H, :W]
 
     def test(self) -> None:
         params = self.params_ema if self.params_ema is not None else self.params

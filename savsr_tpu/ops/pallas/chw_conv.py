@@ -233,13 +233,16 @@ def _opt_spec(x, cout, block):
 
 @functools.partial(jax.jit, static_argnames=("h", "w", "lrelu"))
 def conv3x3_chw(x, w3, bias, out_scale, pre_add, residual, *, h, w,
-                lrelu=None):
+                lrelu=None, mask=None):
     """Flat-padded CHW 3x3 conv with fused epilogue.
 
     x: [B, Cin, S]; w3: [B, 3, Cout, 3Cin] (per-sample; broadcast for
     static weights); bias/out_scale: [Cout, 1] f32; pre_add/residual:
     [B, Cout, S] or None; lrelu: (a, b) abs-form coefficients or None.
     Epilogue order: +bias, +pre_add, *out_scale, lrelu, *mask, +residual.
+    ``mask`` [1, S] f32 overrides the (h, w)-derived pad mask — the
+    bucketed any-scale eval marks the TRUE valid region of a larger
+    static canvas (archs/bucketed.py).
     """
     b, cin, s_total = x.shape
     th, ns, wp, block, s_expect, guard = layout_params(h, w)
@@ -254,7 +257,8 @@ def conv3x3_chw(x, w3, bias, out_scale, pre_add, residual, *, h, w,
 
     pre, pre_spec, use_pre = _opt_spec(pre_add, cout, block)
     res, res_spec, use_res = _opt_spec(residual, cout, block)
-    mask = jnp.asarray(_pad_mask(h, w))
+    if mask is None:
+        mask = jnp.asarray(_pad_mask(h, w))
 
     kpad = w3.shape[3]
     kernel = functools.partial(
@@ -292,13 +296,18 @@ def conv3x3_chw(x, w3, bias, out_scale, pre_add, residual, *, h, w,
             pltpu.VMEM((2, cin, (th + 2) * wp + 256), x.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024,  # v5e grants far more than
+            # the conservative 16MB default (probed up to 100MB); the wide
+            # f32 eval convs need ~21MB
+        ),
         interpret=_interpret(),
     )(x, w3, bias, out_scale, pre, res, mask)
     return out
 
 
 def conv3x3_chw_parts(parts, w3_parts, bias, out_scale, residual, *, h, w,
-                      lrelu=None, pre_add=None):
+                      lrelu=None, pre_add=None, mask=None):
     """conv3x3(concat(parts, C)) as a chain of Cin-split kernel calls linked
     through the fused ``pre_add`` epilogue term.
 
@@ -319,14 +328,14 @@ def conv3x3_chw_parts(parts, w3_parts, bias, out_scale, residual, *, h, w,
             bias if last else zeros,
             out_scale if last else ones,
             y, residual if last else None,
-            h=h, w=w, lrelu=lrelu if last else None,
+            h=h, w=w, lrelu=lrelu if last else None, mask=mask,
         )
     return y
 
 
 @functools.partial(jax.jit, static_argnames=("h", "w", "lrelu"))
 def conv1x1_chw(x, w1, bias, out_scale, pre_add, residual, *, h, w,
-                lrelu=None):
+                lrelu=None, mask=None):
     """Flat-padded CHW 1x1 conv (pure channel matmul) with fused epilogue.
 
     w1: [Cout, Cin] (static — per-sample 1x1 weights are not needed in the
@@ -339,7 +348,8 @@ def conv1x1_chw(x, w1, bias, out_scale, pre_add, residual, *, h, w,
 
     pre, pre_spec, use_pre = _opt_spec(pre_add, cout, block)
     res, res_spec, use_res = _opt_spec(residual, cout, block)
-    mask = jnp.asarray(_pad_mask(h, w))
+    if mask is None:
+        mask = jnp.asarray(_pad_mask(h, w))
 
     kernel = functools.partial(
         _body1, cout=cout, lrelu=lrelu, use_pre=use_pre, use_res=use_res
@@ -367,6 +377,11 @@ def conv1x1_chw(x, w1, bias, out_scale, pre_add, residual, *, h, w,
         ],
         out_specs=pl.BlockSpec((1, cout, block), lambda bi, s: (bi, 0, s),
                                memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024,  # v5e grants far more than
+            # the conservative 16MB default (probed up to 100MB); the wide
+            # f32 eval convs need ~21MB
+        ),
         interpret=_interpret(),
     )(x, w1, bias, out_scale, pre, res, mask)
     return out

@@ -40,6 +40,9 @@ def main():
     parser.add_argument("--shapes", nargs="*", default=None,
                         help="explicit LR shapes HxW (skip folder scanning)")
     parser.add_argument("--num-frame", type=int, default=7)
+    parser.add_argument("--workers", type=int, default=4,
+                        help="concurrent compiles (XLA/remote compilation "
+                             "releases the GIL, so threads overlap)")
     args = parser.parse_args()
 
     opt = yaml_load(args.opt)
@@ -75,17 +78,33 @@ def main():
                 jobs.append((round(cropped[0] / scale[0]), round(cropped[1] / scale[1]), scale))
 
     jobs = sorted(set(jobs))
-    print(f"{len(jobs)} unique (shape, scale) programs to compile")
-    for i, (h, w, scale) in enumerate(jobs):
-        x = jnp.zeros((1, args.num_frame, h, w, 3), jnp.float32)
+    print(f"{len(jobs)} unique (shape, scale) programs to compile "
+          f"({args.workers} workers)")
+    t_all = time.time()
+
+    def compile_one(job):
+        i, (h, w, scale) = job
+        x = jax.ShapeDtypeStruct((1, args.num_frame, h, w, 3), jnp.float32)
 
         @jax.jit
         def fwd(p, x, scale=scale):
             return net.apply(p, x, scale, train=False)[0]
 
         t0 = time.time()
-        fwd(params, x).block_until_ready()
+        # AOT compile only (lower+compile populates the persistent cache;
+        # no device execution, so workers don't contend for the chip)
+        fwd.lower(params, x).compile()
         print(f"[{i + 1}/{len(jobs)}] ({h}x{w}, x{scale}) compiled in {time.time() - t0:.0f}s")
+
+    if args.workers <= 1:
+        for job in enumerate(jobs):
+            compile_one(job)
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=args.workers) as ex:
+            list(ex.map(compile_one, enumerate(jobs)))
+    print(f"total wall-clock {time.time() - t_all:.0f}s")
 
 
 if __name__ == "__main__":
