@@ -190,7 +190,12 @@ def osconv_chw(ctx, prefix: str, parts: List[jnp.ndarray], scale, h: int,
 
 def residual_block_chw(ctx, prefix: str, feats: List[jnp.ndarray], scale,
                        use_osconv: bool, h: int, w: int) -> List[jnp.ndarray]:
-    """ResidualBlock (reference savsr_arch.py:379-415) on CHW features."""
+    """ResidualBlock (reference savsr_arch.py:379-415) on CHW features.
+
+    (Measured dead end, kept for the record: stacking the three conv2 base
+    halves into one cout=3C conv doubles M-utilization but adds a
+    [3C, S] HBM round trip per block — 62.6 vs 58.4 ms/window on chip, so
+    the concat form below stays.)"""
     n = len(feats)
     x1 = [conv3(ctx, f"{prefix}conv0.{i}", feats[i], h, w) for i in range(n)]
     if use_osconv:

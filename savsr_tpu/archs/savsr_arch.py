@@ -745,8 +745,12 @@ class SAVSRConfig:
     matmul_precision: str = "float32"
     # rematerialize per-module in the training forward (jax.checkpoint):
     # trades ~30% extra FLOPs for activation memory, required for the
-    # shipped batch-16 recipe on a 16GB chip
+    # shipped batch-16 recipe on a 16GB chip. remat_policy:
+    #   "full"  — recompute everything in the segment (min memory)
+    #   "dots"  — save matmul/conv outputs, recompute elementwise
+    #             (jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
     remat_train: bool = True
+    remat_policy: str = "full"
 
     @property
     def center(self) -> int:
@@ -841,7 +845,7 @@ def savsr_apply(
         return _savsr_apply_inner(params, x, scale, cfg, train)
 
 
-def _ckpt_call(ctx: Ctx, fn, *args, remat: bool):
+def _ckpt_call(ctx: Ctx, fn, *args, remat, policy: str = "full"):
     """Run ``fn(ctx', *args) -> out`` as a jax.checkpoint segment in training.
 
     BN running-stat updates accumulated so far are folded into the params the
@@ -859,7 +863,12 @@ def _ckpt_call(ctx: Ctx, fn, *args, remat: bool):
         out = fn(inner, *args)
         return out, inner.stats_updates
 
-    out, updates = jax.checkpoint(wrapped)(base_params, dict(ctx.stats_updates), args)
+    kw = {}
+    if policy == "dots":
+        kw["policy"] = jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+    out, updates = jax.checkpoint(wrapped, **kw)(
+        base_params, dict(ctx.stats_updates), args
+    )
     ctx.stats_updates.update(updates)
     return out
 
@@ -903,7 +912,7 @@ def _savsr_apply_inner(
             it = x_backward[:, cur_t - half : cur_t + half + 1]
             ht_f2p = _ckpt_call(
                 ctx, lambda c, a, b_: _w1(c, "f2p_win.", a, b_), it, ht_f2p,
-                remat=cfg.remat_train,
+                remat=cfg.remat_train, policy=cfg.remat_policy,
             )
             h_f2p_list[n_iter - 1 - idx] = ht_f2p
 
@@ -911,7 +920,7 @@ def _savsr_apply_inner(
             it = x_forward[:, cur_t - half : cur_t + half + 1]
             ht_p2f = _ckpt_call(
                 ctx, lambda c, a, b_: _w1(c, "p2f_win.", a, b_), it, ht_p2f,
-                remat=cfg.remat_train,
+                remat=cfg.remat_train, policy=cfg.remat_policy,
             )
             h_p2f_list.append(ht_p2f)
         h_feat = [
@@ -994,7 +1003,7 @@ def _savsr_apply_inner(
                     ctx,
                     functools.partial(_group, name_rg=f"RG.{i}.", name_ad=f"adapt.{i}."),
                     h_feat,
-                    remat=cfg.remat_train,
+                    remat=cfg.remat_train, policy=cfg.remat_policy,
                 )
                 h_feat = h_feat + gamma * share_source
         else:
@@ -1024,6 +1033,7 @@ def _savsr_apply_inner(
     sr = _ckpt_call(
         ctx, _stau, h_feat[:, :h_input, :w_input],
         align_feat[:, :h_input, :w_input], remat=cfg.remat_train,
+        policy=cfg.remat_policy,
     )
     sr = conv2d(ctx, "tail", sr, padding=1)
     sr = sr + interpolate_bilinear(x_center, (H, W), align_corners=False)

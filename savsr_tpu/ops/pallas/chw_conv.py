@@ -215,7 +215,10 @@ def _body1(x_ref, w_ref, bias_ref, scale_ref, pre_ref, res_ref, mask_ref,
 # ---------------------------------------------------------------------------
 
 
-def _opt_spec(x, cout, block):
+def _opt_spec(x, cout, block, cblock: int = 0):
+    """Optional [B, n*Cout, S] operand: ``cblock`` picks the Cout-sized
+    channel block (static) — lets callers feed one wide conv's output into
+    several narrow convs' pre_add with no slicing copies."""
     if x is None:
         return (
             jnp.zeros((1, 1, 1), jnp.bfloat16),
@@ -225,15 +228,15 @@ def _opt_spec(x, cout, block):
         )
     return (
         x,
-        pl.BlockSpec((1, cout, block), lambda bi, s: (bi, 0, s),
+        pl.BlockSpec((1, cout, block), lambda bi, s: (bi, cblock, s),
                      memory_space=pltpu.VMEM),
         True,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("h", "w", "lrelu"))
+@functools.partial(jax.jit, static_argnames=("h", "w", "lrelu", "pre_block"))
 def conv3x3_chw(x, w3, bias, out_scale, pre_add, residual, *, h, w,
-                lrelu=None, mask=None):
+                lrelu=None, mask=None, pre_block=0):
     """Flat-padded CHW 3x3 conv with fused epilogue.
 
     x: [B, Cin, S]; w3: [B, 3, Cout, 3Cin] (per-sample; broadcast for
@@ -255,7 +258,7 @@ def conv3x3_chw(x, w3, bias, out_scale, pre_add, residual, *, h, w,
         lambda bi, s: (bi, 0, 0, 0))
     cout = w3.shape[2]
 
-    pre, pre_spec, use_pre = _opt_spec(pre_add, cout, block)
+    pre, pre_spec, use_pre = _opt_spec(pre_add, cout, block, pre_block)
     res, res_spec, use_res = _opt_spec(residual, cout, block)
     if mask is None:
         mask = jnp.asarray(_pad_mask(h, w))
