@@ -278,7 +278,8 @@ def _osadapt_mask_bucketed(ctx, prefix: str, x_nhwc) -> jnp.ndarray:
     from .arch_util import batch_norm, conv2d, sigmoid
 
     b = ctx.bucket
-    m2, m2h = b["m2d"], b["m2d_half"]
+    m2 = b["m2d"].astype(x_nhwc.dtype)
+    m2h = b["m2d_half"].astype(x_nhwc.dtype)
     m = jax.nn.relu(batch_norm(ctx, f"{prefix}mask.1",
                                conv2d(ctx, f"{prefix}mask.0", x_nhwc, padding=1))) * m2
     m = jnp.einsum("Hh,bhwc->bHwc", b["pool_row"].astype(m.dtype), m)

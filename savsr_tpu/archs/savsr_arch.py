@@ -490,7 +490,7 @@ def stau_apply(
         # m2d0 marks the PRE-pad_spatial region: the reference crops to
         # (h_input, w_input) before STAU (savsr_arch.py:738), so sampling
         # must see zeros beyond it
-        sta_feat = sta_conv(xf, kernel_warp, st_ksize) * ctx.bucket["m2d0"]
+        sta_feat = sta_conv(xf, kernel_warp, st_ksize) * ctx.bucket["m2d0"].astype(x.dtype)
     else:
         sta_feat = sta_conv(x, kernel_warp, st_ksize)
 

@@ -114,6 +114,16 @@ def pack_w3(w_hwio) -> jnp.ndarray:
     return jnp.pad(w, ((0, 0), (0, 0), (0, kp - 3 * ci)))
 
 
+
+def _compiler_params(dtype):
+    """Raise the scoped-VMEM cap only for f32 (the wide eval convs need
+    ~21MB; v5e physically grants far more — probed to 100MB). bf16 keeps
+    the 16MB default: raising it measurably changes Mosaic's buffer
+    scheduling and costs ~1.5 fps on the serving path."""
+    if jnp.dtype(dtype).itemsize > 2:
+        return pltpu.CompilerParams(vmem_limit_bytes=96 * 1024 * 1024)
+    return pltpu.CompilerParams()
+
 # ---------------------------------------------------------------------------
 # kernels
 # ---------------------------------------------------------------------------
@@ -299,11 +309,7 @@ def conv3x3_chw(x, w3, bias, out_scale, pre_add, residual, *, h, w,
             pltpu.VMEM((2, cin, (th + 2) * wp + 256), x.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=96 * 1024 * 1024,  # v5e grants far more than
-            # the conservative 16MB default (probed up to 100MB); the wide
-            # f32 eval convs need ~21MB
-        ),
+        compiler_params=_compiler_params(x.dtype),
         interpret=_interpret(),
     )(x, w3, bias, out_scale, pre, res, mask)
     return out
@@ -380,11 +386,7 @@ def conv1x1_chw(x, w1, bias, out_scale, pre_add, residual, *, h, w,
         ],
         out_specs=pl.BlockSpec((1, cout, block), lambda bi, s: (bi, 0, s),
                                memory_space=pltpu.VMEM),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=96 * 1024 * 1024,  # v5e grants far more than
-            # the conservative 16MB default (probed up to 100MB); the wide
-            # f32 eval convs need ~21MB
-        ),
+        compiler_params=_compiler_params(x.dtype),
         interpret=_interpret(),
     )(x, w1, bias, out_scale, pre, res, mask)
     return out

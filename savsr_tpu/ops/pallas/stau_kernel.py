@@ -181,10 +181,9 @@ def stau_upsample_fused(x_rows, st_rows, pix, j0, wc, we, wfus, bias, *,
         kernel,
         out_shape=jax.ShapeDtypeStruct((bsz, H, cout, wp), x_rows.dtype),
         grid_spec=grid_spec,
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=96 * 1024 * 1024,  # v5e grants far more than
-            # the conservative 16MB default (probed up to 100MB); the wide
-            # f32 eval convs need ~21MB
+        compiler_params=(
+            pltpu.CompilerParams(vmem_limit_bytes=96 * 1024 * 1024)
+            if jnp.dtype(x_rows.dtype).itemsize > 2 else pltpu.CompilerParams()
         ),
         interpret=_interpret(),
     )(j0, pix, x_rows, st_rows, wc, we, wfus, bias)
