@@ -417,10 +417,54 @@ def _stau_pixel_coords(offset, scale, h, w, dtype=jnp.float32, bucket=None):
     return fy, fx
 
 
-def _stau_fused(ctx, prefix, x, sta_feat, offset, st_offset, routing, scale,
-                band=8):
+def _stau_sta_rows(ctx, prefix, x, st_feat, st_ksize, wl):
+    """kernel_conv + LeakyReLU + sta_conv via the fused STA kernel
+    (ops/pallas/sta_kernel.py), producing the sampler's row layout
+    directly. Returns [B, h, C, Wl]."""
+    from ..ops.pallas.sta_kernel import sta_conv_fused
+
+    b, h, w, c = x.shape
+    bucket = ctx.bucket
+    dtype = x.dtype
+    pad = (st_ksize - 1) // 2
+    hp = -(-h // 8) * 8
+    wl2 = wl + 128
+
+    if bucket is not None:
+        # replicate at the TRUE edge: fill the canvas slack with edge
+        # replicas before the uniform edge-pad
+        x = _fill_edge_slack(x, bucket["h_lr"], bucket["w_lr"], pad)
+    xp = replicate_pad_hw(x, pad)  # [B, h+2p, w+2p, C]
+
+    def rows(t, target_rows, lanes):
+        t = jnp.transpose(t, (0, 1, 3, 2))
+        return jnp.pad(t, ((0, 0), (0, target_rows - t.shape[1]), (0, 0),
+                           (0, lanes - t.shape[3])))
+
+    x_pad_rows = rows(xp, hp + 2 * pad, wl2)
+    st_rows = rows(st_feat, hp, wl)
+
+    kk = st_ksize * st_ksize
+    wk = ctx[f"{prefix}kernel_conv.0.weight"][0, 0].T  # [C*kk (c-major), C]
+    wk = wk.reshape(c, kk, c).transpose(1, 0, 2).reshape(kk * c, c)
+    bias = ctx[f"{prefix}kernel_conv.0.bias"]
+    bias = bias.reshape(c, kk).T.reshape(kk * c, 1).astype(jnp.float32)
+
+    if bucket is not None:
+        wb = bucket["m2d0"].shape[2]
+        mcol = jnp.pad(bucket["m2d0"][0, 0, :, 0], (0, wl - wb))[None]
+    else:
+        mcol = jnp.asarray((np.arange(wl) < w).astype(np.float32))[None]
+    out = sta_conv_fused(st_rows, x_pad_rows, wk.astype(dtype), bias, mcol,
+                         ksize=st_ksize)
+    return out[:, :h]
+
+
+def _stau_fused(ctx, prefix, x, st_feat, offset, st_offset, routing, scale,
+                band=8, st_ksize=5):
     """Dispatch STAU sampling + experts + fusion to the fused Pallas kernel
-    (ops/pallas/stau_kernel.py)."""
+    (ops/pallas/stau_kernel.py); the STA filtering chain runs in
+    ops/pallas/sta_kernel.py in the same row layout."""
     from ..ops.pallas.chw_conv import _round_up
     from ..ops.pallas.stau_kernel import stau_upsample_fused
 
@@ -438,6 +482,8 @@ def _stau_fused(ctx, prefix, x, sta_feat, offset, st_offset, routing, scale,
     def rows(t):  # [B,h,w,C] -> [B,h,C,Wl]
         t = jnp.transpose(t, (0, 1, 3, 2))
         return jnp.pad(t, ((0, 0), (0, 0), (0, 0), (0, wl - w)))
+
+    sta_rows = _stau_sta_rows(ctx, prefix, x, st_feat, st_ksize, wl)
 
     if bucket is not None:
         # zero beyond the pre-pad_spatial crop: the hat sums then reproduce
@@ -465,7 +511,7 @@ def _stau_fused(ctx, prefix, x, sta_feat, offset, st_offset, routing, scale,
     bias = ctx[f"{prefix}fusion.bias"].astype(jnp.float32).reshape(-1, 1)
 
     out = stau_upsample_fused(
-        rows(x), rows(sta_feat), pix, j0, wc, we, wfus, bias,
+        rows(x), sta_rows, pix, j0, wc, we, wfus, bias,
         R=band, h=h, w=w, W_hr=W,
     )  # [B, H, C, Wp]
     return jnp.transpose(out, (0, 1, 3, 2))[:, :, :W, :]
@@ -477,21 +523,13 @@ def stau_apply(
 ) -> jnp.ndarray:
     b, h, w, c = x.shape
     H, W = get_hw(h, w, scale)
+    use_chw = ctx.conv_engine == "chw" and not ctx.train_engines
 
-    # spatio-temporal adaptive filtering of x by kernels predicted from the
-    # alignment feature
-    kernel_warp = leaky_relu(conv2d(ctx, f"{prefix}kernel_conv.0", st_feat), 0.1)
-    if ctx.bucket is not None:
-        # sta_conv replicate-pads at the TRUE image edge: copy the last
-        # valid row/col into the bucket slack so the shifted taps see
-        # edge replicas, then re-zero the invalid region afterwards
-        pad = (st_ksize - 1) // 2
-        xf = _fill_edge_slack(x, ctx.bucket["h_lr"], ctx.bucket["w_lr"], pad)
-        # m2d0 marks the PRE-pad_spatial region: the reference crops to
-        # (h_input, w_input) before STAU (savsr_arch.py:738), so sampling
-        # must see zeros beyond it
-        sta_feat = sta_conv(xf, kernel_warp, st_ksize) * ctx.bucket["m2d0"].astype(x.dtype)
-    else:
+    if not use_chw:
+        # spatio-temporal adaptive filtering of x by kernels predicted from
+        # the alignment feature (the CHW path fuses kernel_conv + lrelu +
+        # sta_conv into ops/pallas/sta_kernel.py inside _stau_fused)
+        kernel_warp = leaky_relu(conv2d(ctx, f"{prefix}kernel_conv.0", st_feat), 0.1)
         sta_feat = sta_conv(x, kernel_warp, st_ksize)
 
     # coordinate embedding -> routing / offsets (batch-size-1, broadcast)
@@ -505,9 +543,9 @@ def stau_apply(
     st_offset = conv2d(ctx, f"{prefix}st_offset", emb)    # [1,H,W,2]
     routing = sigmoid(conv2d(ctx, f"{prefix}routing.0", emb))  # [1,H,W,n]
 
-    if ctx.conv_engine == "chw" and not ctx.train_engines:
-        return _stau_fused(ctx, prefix, x, sta_feat, offset, st_offset,
-                           routing, scale)
+    if use_chw:
+        return _stau_fused(ctx, prefix, x, st_feat, offset, st_offset,
+                           routing, scale, st_ksize=st_ksize)
 
     # grid sample + spatially-varying compress/expand. The reference builds
     # per-pixel [C/8,C] and [C,C/8] matrices (savsr_arch.py:353-359); since
