@@ -500,9 +500,17 @@ def _stau_fused(ctx, prefix, x, st_feat, offset, st_offset, routing, scale,
 
     def j0_of(fy):
         m = jnp.floor(jnp.min(fy, axis=1)).astype(jnp.int32)
-        return jnp.clip(m, 0, h_valid - band)
+        j0 = jnp.clip(m, 0, h_valid - band)
+        # in-band rows that can carry weight: [j0, min(floor(max fy)+1, h-1)]
+        top = jnp.minimum(
+            jnp.floor(jnp.max(fy, axis=1)).astype(jnp.int32) + 1, h_valid - 1
+        )
+        jc = jnp.clip(top - j0 + 1, 1, band)
+        return j0, jc
 
-    j0 = jnp.stack([j0_of(fy_f), j0_of(fy_s)], axis=1)  # [H, 2]
+    j0f, jcf = j0_of(fy_f)
+    j0s, jcs = j0_of(fy_s)
+    j0 = jnp.stack([j0f, j0s, jcf, jcs], axis=1)  # [H, 4]
 
     ce = c // 8
     wc = ctx[f"{prefix}weight_compress"].astype(dtype).reshape(-1, c)

@@ -89,22 +89,24 @@ def _body(j0_ref, pix_ref, x_ref, st_ref, wc_ref, we_ref, wfus_ref, bias_ref,
         )
         hx = hatx[...].astype(dt)
         j0 = j0_ref[r, j_col]
+        # dynamic trip count: the number of band rows whose y-weights can
+        # be nonzero (typically 2-3 of R; precomputed per HR row). A
+        # data-dependent fori bound lowers to a scalar while loop, so the
+        # unused rows' matmuls genuinely never execute (a lax.cond here
+        # became a select that ran both sides).
+        jc = j0_ref[r, 2 + j_col]
         acc = jnp.zeros((c, wp), jnp.float32)
 
         def one(j, acc):
             wy = jnp.maximum(1.0 - jnp.abs(gy - (j0 + j).astype(jnp.float32)), 0.0)
+            m = jax.lax.dot_general(
+                dst_slot_band[slot, j], hx,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            return acc + wy * m
 
-            def hit(acc):
-                m = jax.lax.dot_general(
-                    dst_slot_band[slot, j], hx,
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-                return acc + wy * m
-
-            return jax.lax.cond(jnp.max(wy) > 0.0, hit, lambda a: a, acc)
-
-        return jax.lax.fori_loop(0, R, one, acc)
+        return jax.lax.fori_loop(0, jc, one, acc)
 
     fea0 = sample(xband, 0, 1, 0)   # [C, wp] f32
     sta = sample(sband, 2, 3, 1)
@@ -142,8 +144,9 @@ def _body(j0_ref, pix_ref, x_ref, st_ref, wc_ref, we_ref, wfus_ref, bias_ref,
 def stau_upsample_fused(x_rows, st_rows, pix, j0, wc, we, wfus, bias, *,
                         R, h, w, W_hr):
     """x_rows/st_rows: [B, h, C, Wl] row-major LR features; pix:
-    [H, 8, Wp] f32 planes (gy_f, gx_f, gy_s, gx_s, r_0..r_3); j0: [H, 2]
-    int32 band starts (clipped to [0, h-R]); wc: [n*C/8, C]; we:
+    [H, 8, Wp] f32 planes (gy_f, gx_f, gy_s, gx_s, r_0..r_3); j0: [H, 4]
+    int32 (band starts clipped to [0, h-R], then per-sample in-band row
+    counts <= R); wc: [n*C/8, C]; we:
     [C, n*C/8]; wfus: [Cout, 2C]; bias: [Cout, 1].
     Returns [B, H, Cout, Wp]."""
     bsz, h_in, c, wl = x_rows.shape
