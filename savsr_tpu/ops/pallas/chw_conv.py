@@ -56,9 +56,9 @@ def layout_params(h: int, w: int):
     # row width padded to full 128-lane chunks: Mosaic block shapes need a
     # 128-divisible trailing dim, and every dx/dy tap stays a flat offset
     wp = _round_up(w + 2, 128)
-    # slab height: fixed at 8 rows so the worst-chain conv (Cin=192 ->
-    # imcol [640, 10*wp]) plus double-buffered blocks stays well under the
-    # 16MB VMEM limit at wp=384 (720p eval)
+    # slab height: 8 rows. Measured alternatives: th=12 (fewer, wider
+    # slabs; needs a 24MB VMEM cap at Cin=192) benches 18.9 vs 19.2 fps —
+    # the smaller slabs pipeline better.
     th = 8
     ns = -(-(h + 2) // th)
     block = th * wp
