@@ -129,6 +129,18 @@ def make_bucket_operands(
     rc[:W, :w0] = _bilinear_matrix(w0, W, align_corners=False)
     ops["rs_row"] = jnp.asarray(rr)
     ops["rs_col"] = jnp.asarray(rc)
+
+    # fused tail kernel operands (savsr_arch.tail_fused_apply)
+    from .savsr_arch import _tail_row_mix
+
+    wp = -(-Wb // 128) * 128
+    wl = -(-wb // 128) * 128
+    tj0, twy = _tail_row_mix(h0, H)
+    ops["tail_j0"] = jnp.asarray(np.pad(tj0, (0, Hb - H)))
+    ops["tail_wy"] = jnp.asarray(np.pad(twy, (0, Hb - H)))
+    hc = np.zeros((wl, wp), np.float32)
+    hc[:w0, :W] = _bilinear_matrix(w0, W, align_corners=False).T
+    ops["tail_hatc"] = jnp.asarray(hc)
     return ops
 
 
@@ -211,15 +223,11 @@ def _apply_bucketed_inner(params, x, ops, cfg):
         hw=(hb, wb),
     )
 
-    sr = stau_apply(ctx, "upsample.", h_feat, dummy_scale, align_feat,
-                    cfg.num_feat)
-    # zero beyond the valid HR region so the tail conv's halo at the true
-    # border sees zeros — the reference's zero padding at the true edge
-    sr = sr * ops["mask_hr"].astype(sr.dtype)
-    sr = conv2d(ctx, "tail", sr, padding=1)
-    # bilinear skip (reference :741) via true-size operand matrices
-    mh = ops["rs_row"].astype(sr.dtype)
-    mw = ops["rs_col"].astype(sr.dtype)
-    up = jnp.einsum("Hh,bhwc->bHwc", mh, x_center, precision="highest")
-    up = jnp.einsum("Ww,bhwc->bhWc", mw, up, precision="highest")
-    return sr + up
+    sr_rows = stau_apply(ctx, "upsample.", h_feat, dummy_scale, align_feat,
+                         cfg.num_feat, return_rows=True)
+    from .savsr_arch import tail_fused_apply
+
+    Hb, Wb = ops["mask_hr"].shape[1:3]
+    sr = tail_fused_apply(ctx, sr_rows, x_center, hb, wb, Hb, Wb)
+    # tail_fused_apply returns [B, Hb, Wb, 3]; pad channels were dropped
+    return sr

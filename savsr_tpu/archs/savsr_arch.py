@@ -461,7 +461,7 @@ def _stau_sta_rows(ctx, prefix, x, st_feat, st_ksize, wl):
 
 
 def _stau_fused(ctx, prefix, x, st_feat, offset, st_offset, routing, scale,
-                band=8, st_ksize=5):
+                band=8, st_ksize=5, return_rows=False):
     """Dispatch STAU sampling + experts + fusion to the fused Pallas kernel
     (ops/pallas/stau_kernel.py); the STA filtering chain runs in
     ops/pallas/sta_kernel.py in the same row layout."""
@@ -522,12 +522,85 @@ def _stau_fused(ctx, prefix, x, st_feat, offset, st_offset, routing, scale,
         rows(x), sta_rows, pix, j0, wc, we, wfus, bias,
         R=band, h=h, w=w, W_hr=W,
     )  # [B, H, C, Wp]
+    if return_rows:
+        return out
     return jnp.transpose(out, (0, 1, 3, 2))[:, :, :W, :]
+
+
+def _tail_row_mix(h0: int, H: int):
+    """Static skip-resize row info: start row (clipped to h0-2) and its
+    weight, from the <=2 nonzeros of the bilinear row matrix."""
+    from .arch_util import _bilinear_matrix
+
+    mh = _bilinear_matrix(h0, H, align_corners=False)  # [H, h0]
+    j0 = np.zeros((H,), np.int32)
+    wy = np.zeros((H,), np.float32)
+    for i in range(H):
+        nz = np.nonzero(mh[i])[0]
+        j0[i] = min(int(nz[0]), h0 - 2)
+        wy[i] = mh[i, j0[i]]
+    return j0, wy
+
+
+def tail_fused_apply(ctx: Ctx, sr_rows, x_center, h0: int, w0: int,
+                     H: int, W: int):
+    """Tail conv + bilinear skip on the sampler's row layout
+    (ops/pallas/tail_kernel.py). sr_rows: [B, H, C, Wp]; x_center:
+    [B, h0, w0, 3] (or a bucket canvas with operands in ctx.bucket).
+    Returns NHWC [B, H, W, 3]."""
+    from ..ops.pallas.chw_conv import _round_up
+    from ..ops.pallas.tail_kernel import tail_fused
+    from .arch_util import _bilinear_matrix
+
+    b, Hr, c, wp = sr_rows.shape
+    dtype = sr_rows.dtype
+    bucket = ctx.bucket
+    wl = _round_up(x_center.shape[2], 128)
+
+    if bucket is not None:
+        row_ok = bucket["mask_hr"][0, :, 0, 0]
+        col_ok = jnp.pad(bucket["mask_hr"][0, 0, :, 0],
+                         (0, wp - bucket["mask_hr"].shape[2]))
+        j0 = bucket["tail_j0"]
+        wy = bucket["tail_wy"]
+        hatc = bucket["tail_hatc"]
+    else:
+        col_np = (np.arange(wp) < W).astype(np.float32)
+        row_ok = None
+        col_ok = jnp.asarray(col_np)
+        j0_np, wy_np = _tail_row_mix(h0, Hr)
+        j0 = jnp.asarray(j0_np)
+        wy = jnp.asarray(wy_np)
+        mw = _bilinear_matrix(w0, W, align_corners=False)  # [W, w0]
+        hc = np.zeros((wl, wp), np.float32)
+        hc[:w0, :W] = mw.T
+        hatc = jnp.asarray(hc)
+
+    # zero beyond the valid region so the 3x3 halo at the true border sees
+    # zeros (reference zero padding), then add the boundary zero rows/lanes
+    sr = sr_rows * col_ok.astype(dtype)[None, None, None, :]
+    if row_ok is not None:
+        sr = sr * row_ok.astype(dtype)[None, :, None, None]
+    sr = jnp.pad(sr, ((0, 0), (1, 1), (0, 0), (1, 127)))
+
+    xc = jnp.pad(x_center, ((0, 0), (0, 0), (0, 0), (0, 8 - x_center.shape[3])))
+    xc = jnp.transpose(xc, (0, 1, 3, 2))
+    xc = jnp.pad(xc, ((0, 0), (0, 0), (0, 0), (0, wl - xc.shape[3])))
+
+    wt_hwio = ctx["tail.weight"]  # [3, 3, C, 3]
+    wt = jnp.transpose(wt_hwio, (0, 1, 3, 2)).reshape(9, 3, c)
+    wt = jnp.pad(wt, ((0, 0), (0, 5), (0, 0))).astype(dtype)
+    bias = jnp.pad(ctx["tail.bias"], (0, 5)).astype(jnp.float32).reshape(8, 1)
+
+    out = tail_fused(sr, xc.astype(dtype), j0, wy, wt, bias,
+                     hatc.astype(dtype))  # [B, H, 8, Wp]
+    return jnp.transpose(out, (0, 1, 3, 2))[:, :, :W, :3]
 
 
 def stau_apply(
     ctx: Ctx, prefix: str, x: jnp.ndarray, scale: Scale, st_feat: jnp.ndarray,
     channels: int, num_experts: int = 4, st_ksize: int = 5,
+    return_rows: bool = False,
 ) -> jnp.ndarray:
     b, h, w, c = x.shape
     H, W = get_hw(h, w, scale)
@@ -553,7 +626,8 @@ def stau_apply(
 
     if use_chw:
         return _stau_fused(ctx, prefix, x, st_feat, offset, st_offset,
-                           routing, scale, st_ksize=st_ksize)
+                           routing, scale, st_ksize=st_ksize,
+                           return_rows=return_rows)
 
     # grid sample + spatially-varying compress/expand. The reference builds
     # per-pixel [C/8,C] and [C,C/8] matrices (savsr_arch.py:353-359); since
@@ -1073,6 +1147,14 @@ def _savsr_apply_inner(
         h_feat = h_feat + share_source
 
     # arbitrary-scale upsampling on the un-padded region
+    if ctx.conv_engine == "chw" and not ctx.train_engines:
+        sr_rows = stau_apply(
+            ctx, "upsample.", h_feat[:, :h_input, :w_input], scale,
+            align_feat[:, :h_input, :w_input], cfg.num_feat, return_rows=True,
+        )
+        sr = tail_fused_apply(ctx, sr_rows, x_center, h_input, w_input, H, W)
+        return sr, ctx.stats_updates
+
     def _stau(c, h, a):
         return stau_apply(c, "upsample.", h, scale, a, cfg.num_feat)
 
