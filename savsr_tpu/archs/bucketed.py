@@ -34,7 +34,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.pallas.chw_conv import layout_params
-from .arch_util import Ctx, _bilinear_matrix, conv2d
+from .arch_util import Ctx, _bilinear_matrix
 from .savsr_arch import (
     SAVSRConfig,
     _stau_base_grid,
@@ -123,13 +123,6 @@ def make_bucket_operands(
     uc[:we, : we // 2] = _bilinear_matrix(we // 2, we, align_corners=False)
     ops["up_row"] = jnp.asarray(ur)
     ops["up_col"] = jnp.asarray(uc)
-    rr = np.zeros((Hb, hb), np.float32)
-    rr[:H, :h0] = _bilinear_matrix(h0, H, align_corners=False)
-    rc = np.zeros((Wb, wb), np.float32)
-    rc[:W, :w0] = _bilinear_matrix(w0, W, align_corners=False)
-    ops["rs_row"] = jnp.asarray(rr)
-    ops["rs_col"] = jnp.asarray(rc)
-
     # fused tail kernel operands (savsr_arch.tail_fused_apply)
     from .savsr_arch import _tail_row_mix
 
