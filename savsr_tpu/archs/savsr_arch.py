@@ -494,7 +494,10 @@ def _stau_fused(ctx, prefix, x, st_feat, offset, st_offset, routing, scale,
     rt = jnp.transpose(routing[0].astype(jnp.float32), (0, 2, 1))  # [H,n,W]
     planes = jnp.stack([fy_f, fx_f, fy_s, fx_s], axis=1)           # [H,4,W]
     pix = jnp.concatenate([planes, rt], axis=1)                    # [H,4+n,W]
-    pix = jnp.pad(pix, ((0, 0), (0, 8 - pix.shape[1]), (0, wp - W)))
+    # the kernel processes HR rows in pairs: pad H to even, fold pairs
+    H2 = H + H % 2
+    pix = jnp.pad(pix, ((0, H2 - H), (0, 8 - pix.shape[1]), (0, wp - W)))
+    pix = pix.reshape(H2 // 2, 2, 8, wp)
 
     h_valid = h if bucket is None else bucket["h_lr"]
 
@@ -511,6 +514,7 @@ def _stau_fused(ctx, prefix, x, st_feat, offset, st_offset, routing, scale,
     j0f, jcf = j0_of(fy_f)
     j0s, jcs = j0_of(fy_s)
     j0 = jnp.stack([j0f, j0s, jcf, jcs], axis=1)  # [H, 4]
+    j0 = jnp.pad(j0, ((0, H2 - H), (0, 0)), constant_values=1)
 
     ce = c // 8
     wc = ctx[f"{prefix}weight_compress"].astype(dtype).reshape(-1, c)
@@ -521,7 +525,7 @@ def _stau_fused(ctx, prefix, x, st_feat, offset, st_offset, routing, scale,
     out = stau_upsample_fused(
         rows(x), sta_rows, pix, j0, wc, we, wfus, bias,
         R=band, h=h, w=w, W_hr=W,
-    )  # [B, H, C, Wp]
+    )[:, :H]  # [B, H, C, Wp]
     if return_rows:
         return out
     return jnp.transpose(out, (0, 1, 3, 2))[:, :, :W, :]

@@ -50,57 +50,61 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _body(j0_ref, pix_ref, x_ref, st_ref, wc_ref, we_ref, wfus_ref, bias_ref,
-          o_ref, xband, sband, hatx, sem, *, R, h, w, wl, wp, c, n_exp):
+          o_ref, xband, sband, hatx, pair, sem, *, R, h, w, wl, wp, c, n_exp):
     b = pl.program_id(0)
-    r = pl.program_id(1)
+    r = pl.program_id(1)  # PAIR of HR rows (2r, 2r+1)
     nh = pl.num_programs(1)
     dt = o_ref.dtype
 
-    def band_dma(slot, row, src_ref, dst, j_col):
-        j0 = j0_ref[row, j_col]
+    def band_dma(slot, step, rr, src_ref, dst, j_col):
+        j0 = j0_ref[2 * step + rr, j_col]
         return pltpu.make_async_copy(
-            src_ref.at[b, pl.ds(j0, R)], dst.at[slot], sem.at[slot, j_col]
+            src_ref.at[b, pl.ds(j0, R)], dst.at[slot, rr], sem.at[slot, rr, j_col]
         )
 
-    # persistent double buffer across grid steps: warm up on the first row,
-    # then issue row r+1's band DMAs before computing row r
+    def start_pair(slot, step):
+        for rr in range(2):
+            band_dma(slot, step, rr, x_ref, xband, 0).start()
+            band_dma(slot, step, rr, st_ref, sband, 1).start()
+
+    # persistent double buffer across grid steps: warm up on the first
+    # pair, then issue pair r+1's band DMAs before computing pair r
     @pl.when(r == 0)
     def _warm():
-        band_dma(0, 0, x_ref, xband, 0).start()
-        band_dma(0, 0, st_ref, sband, 1).start()
+        start_pair(0, 0)
 
     @pl.when(r + 1 < nh)
     def _prefetch():
-        band_dma((r + 1) % 2, r + 1, x_ref, xband, 0).start()
-        band_dma((r + 1) % 2, r + 1, st_ref, sband, 1).start()
+        start_pair((r + 1) % 2, r + 1)
 
     slot = r % 2
-    band_dma(slot, r, x_ref, xband, 0).wait()
-    band_dma(slot, r, st_ref, sband, 1).wait()
+    for rr in range(2):
+        band_dma(slot, r, rr, x_ref, xband, 0).wait()
+        band_dma(slot, r, rr, st_ref, sband, 1).wait()
 
     cl = jax.lax.broadcasted_iota(jnp.int32, (wl, wp), 0).astype(jnp.float32)
     col_ok = cl < float(w)
 
-    def sample(dst_slot_band, gy_plane, gx_plane, j_col):
-        gx = pix_ref[0, gx_plane, :][None, :]  # [1, wp]
-        gy = pix_ref[0, gy_plane, :][None, :]
+    def sample(dst_slot_band, rr, gy_plane, gx_plane, j_col):
+        gx = pix_ref[0, rr, gx_plane, :][None, :]  # [1, wp]
+        gy = pix_ref[0, rr, gy_plane, :][None, :]
         hatx[...] = jnp.where(
             col_ok, jnp.maximum(1.0 - jnp.abs(gx - cl), 0.0), 0.0
         )
         hx = hatx[...].astype(dt)
-        j0 = j0_ref[r, j_col]
+        j0 = j0_ref[2 * r + rr, j_col]
         # dynamic trip count: the number of band rows whose y-weights can
         # be nonzero (typically 2-3 of R; precomputed per HR row). A
         # data-dependent fori bound lowers to a scalar while loop, so the
         # unused rows' matmuls genuinely never execute (a lax.cond here
         # became a select that ran both sides).
-        jc = j0_ref[r, 2 + j_col]
+        jc = j0_ref[2 * r + rr, 2 + j_col]
         acc = jnp.zeros((c, wp), jnp.float32)
 
         def one(j, acc):
             wy = jnp.maximum(1.0 - jnp.abs(gy - (j0 + j).astype(jnp.float32)), 0.0)
             m = jax.lax.dot_general(
-                dst_slot_band[slot, j], hx,
+                dst_slot_band[slot, rr, j], hx,
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
@@ -108,34 +112,45 @@ def _body(j0_ref, pix_ref, x_ref, st_ref, wc_ref, we_ref, wfus_ref, bias_ref,
 
         return jax.lax.fori_loop(0, jc, one, acc)
 
-    fea0 = sample(xband, 0, 1, 0)   # [C, wp] f32
-    sta = sample(sband, 2, 3, 1)
+    # both rows' samples concatenated on lanes: the expert/fusion matmuls
+    # below then run once per pair at 2x width
+    for rr in range(2):
+        pair[0, :, pl.ds(rr * wp, wp)] = sample(xband, rr, 0, 1, 0).astype(dt)
+        pair[1, :, pl.ds(rr * wp, wp)] = sample(sband, rr, 2, 3, 1).astype(dt)
+    fea0 = pair[0]  # [C, 2wp] dt
+    sta = pair[1]
 
     # expert mixing: zc_n = wc_n @ fea0; fc = sum_n r_n * zc_n;
     # fea = sum_n r_n * (we_n @ fc) + fea0   (reference savsr_arch.py:353-359)
     ce = c // 8
-    fea0_dt = fea0.astype(dt)
     zc = jax.lax.dot_general(
-        wc_ref[:], fea0_dt, dimension_numbers=(((1,), (0,)), ((), ())),
+        wc_ref[:], fea0, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # [n_exp*ce, wp]
-    rts = [pix_ref[0, 4 + n, :][None, :] for n in range(n_exp)]
+    )  # [n_exp*ce, 2wp]
+    rts = [
+        jnp.concatenate(
+            [pix_ref[0, 0, 4 + n, :][None, :], pix_ref[0, 1, 4 + n, :][None, :]],
+            axis=1,
+        )
+        for n in range(n_exp)
+    ]
     fc = sum(rts[n] * zc[n * ce : (n + 1) * ce] for n in range(n_exp))
     stack = jnp.concatenate([(rts[n] * fc) for n in range(n_exp)], axis=0)
     ze = jax.lax.dot_general(
         we_ref[:], stack.astype(dt),
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # [C, wp]
-    fea = ze + fea0
+    )  # [C, 2wp]
+    fea = ze + fea0.astype(jnp.float32)
 
     # fusion 1x1 over concat([sta_up, fea]) (order per reference :375)
-    cat = jnp.concatenate([sta.astype(dt), fea.astype(dt)], axis=0)
+    cat = jnp.concatenate([sta, fea.astype(dt)], axis=0)
     out = jax.lax.dot_general(
         wfus_ref[:], cat, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) + bias_ref[:].astype(jnp.float32)
-    o_ref[0, 0] = out.astype(dt)
+    for rr in range(2):
+        o_ref[0, rr] = out[:, rr * wp : (rr + 1) * wp].astype(dt)
 
 
 @functools.partial(
@@ -151,7 +166,8 @@ def stau_upsample_fused(x_rows, st_rows, pix, j0, wc, we, wfus, bias, *,
     Returns [B, H, Cout, Wp]."""
     bsz, h_in, c, wl = x_rows.shape
     assert h_in == h
-    H, _, wp = pix.shape
+    H2, _, _, wp = pix.shape  # pix: [H/2, 2, 8, Wp] row pairs
+    H = 2 * H2
     cout = wfus.shape[0]
     n_exp = wc.shape[0] // (c // 8)
 
@@ -160,9 +176,9 @@ def stau_upsample_fused(x_rows, st_rows, pix, j0, wc, we, wfus, bias, *,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(bsz, H),
+        grid=(bsz, H // 2),
         in_specs=[
-            pl.BlockSpec((1, 8, wp), lambda b, r, *_: (r, 0, 0),
+            pl.BlockSpec((1, 2, 8, wp), lambda b, r, *_: (r, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
@@ -171,13 +187,14 @@ def stau_upsample_fused(x_rows, st_rows, pix, j0, wc, we, wfus, bias, *,
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, cout, wp), lambda b, r, *_: (b, r, 0, 0),
+        out_specs=pl.BlockSpec((1, 2, cout, wp), lambda b, r, *_: (b, r, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, R, c, wl), x_rows.dtype),
-            pltpu.VMEM((2, R, c, wl), x_rows.dtype),
+            pltpu.VMEM((2, 2, R, c, wl), x_rows.dtype),
+            pltpu.VMEM((2, 2, R, c, wl), x_rows.dtype),
             pltpu.VMEM((wl, wp), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.VMEM((2, c, 2 * wp), x_rows.dtype),
+            pltpu.SemaphoreType.DMA((2, 2, 2)),
         ],
     )
     return pl.pallas_call(
