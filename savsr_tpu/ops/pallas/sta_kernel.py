@@ -114,5 +114,9 @@ def sta_conv_fused(st_rows, x_pad_rows, wk, bias, mask_cols, *, ksize=5):
             pltpu.VMEM((2, th + ksize - 1, c, wl2), st_rows.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
+        compiler_params=(
+            pltpu.CompilerParams(vmem_limit_bytes=96 * 1024 * 1024)
+            if jnp.dtype(st_rows.dtype).itemsize > 2 else pltpu.CompilerParams()
+        ),
         interpret=_interpret(),
     )(st_rows, x_pad_rows, wk, bias, mask_cols)

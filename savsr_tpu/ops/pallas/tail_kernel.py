@@ -123,5 +123,10 @@ def tail_fused(sr_rows_pad, xc_rows, j0, wy, wt, bias, hatc):
         kernel,
         out_shape=jax.ShapeDtypeStruct((bsz, H, cpad, wp), sr_rows_pad.dtype),
         grid_spec=grid_spec,
+        compiler_params=(
+            pltpu.CompilerParams(vmem_limit_bytes=96 * 1024 * 1024)
+            if jnp.dtype(sr_rows_pad.dtype).itemsize > 2
+            else pltpu.CompilerParams()
+        ),
         interpret=_interpret(),
     )(j0, wy, sr_rows_pad, xc_rows, wt, bias, hatc)
