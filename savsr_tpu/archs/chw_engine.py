@@ -83,24 +83,72 @@ def _mask(ctx):
     return None if ctx.bucket is None else ctx.bucket["mask_lr"]
 
 
-def conv3_cat(ctx, name: str, parts: List[jnp.ndarray], h: int, w: int,
+# Paired-chain support: a ``name``/``prefix`` may be a TUPLE of parameter
+# prefixes (e.g. ("f2p_win...", "p2f_win...")). The inputs then carry the
+# chains stacked chain-major on the batch axis and every conv runs ONCE
+# with per-sample (per-chain) weights/biases — halving kernel launches on
+# the bidirectional alignment scan (VERDICT r2 #1).
+
+
+def _is_paired(name) -> bool:
+    return isinstance(name, (tuple, list))
+
+
+def _sub_name(name, suffix: str):
+    if _is_paired(name):
+        return tuple(f"{n}{suffix}" for n in name)
+    return f"{name}{suffix}"
+
+
+def _wparam(ctx, name, suffix: str = "weight"):
+    """[3,3,Ci,Co] (single) or [P,3,3,Ci,Co] (paired, stacked)."""
+    if _is_paired(name):
+        return jnp.stack([ctx[f"{n}.{suffix}"] for n in name])
+    return ctx[f"{name}.{suffix}"]
+
+
+def _per_batch(arr, b: int):
+    """Tile a [P, ...] per-chain operand to the [B] chain-major batch."""
+    p = arr.shape[0]
+    if p == b:
+        return arr
+    assert b % p == 0
+    return jnp.repeat(arr, b // p, axis=0)
+
+
+def conv3_cat(ctx, name, parts: List[jnp.ndarray], h: int, w: int,
               lrelu=LRELU, residual=None) -> jnp.ndarray:
     """conv3x3(concat(parts)) with automatic Cin chunking."""
     xs, spans = _group_parts(parts)
     dtype = parts[0].dtype
-    wt = ctx[f"{name}.weight"]
-    w3s = [pack_w3(wt[:, :, off : off + c, :]).astype(dtype) for off, c in spans]
+    b = parts[0].shape[0]
+    wt = _wparam(ctx, name)
+    if wt.ndim == 5:
+        w3s = [_per_batch(pack_w3_batched(wt[..., off : off + c, :]), b)
+               .astype(dtype) for off, c in spans]
+    else:
+        w3s = [pack_w3(wt[:, :, off : off + c, :]).astype(dtype)
+               for off, c in spans]
     cout = wt.shape[-1]
-    return conv3x3_chw_parts(xs, w3s, _bias_col(ctx, name, cout),
+    return conv3x3_chw_parts(xs, w3s, _bias_col(ctx, name, cout, b),
                              _ones(cout), residual, h=h, w=w, lrelu=lrelu,
                              mask=_mask(ctx))
 
 
-def _bias_col(ctx, name: str, cout: int) -> jnp.ndarray:
-    b = ctx.params.get(f"{name}.bias")
-    if b is None:
+def _bias_col(ctx, name, cout: int, b: int = 1) -> jnp.ndarray:
+    if _is_paired(name):
+        cols = [ctx.params.get(f"{n}.bias") for n in name]
+        if all(c is None for c in cols):
+            return jnp.zeros((cout, 1), jnp.float32)
+        stacked = jnp.stack([
+            jnp.zeros((cout,), jnp.float32) if c is None else c.astype(jnp.float32)
+            for c in cols
+        ]).reshape(len(name), cout, 1)
+        return _per_batch(stacked, b)
+    bias = ctx.params.get(f"{name}.bias")
+    if bias is None:
         return jnp.zeros((cout, 1), jnp.float32)
-    return b.astype(jnp.float32).reshape(cout, 1)
+    return bias.astype(jnp.float32).reshape(cout, 1)
 
 
 def _ones(cout: int) -> jnp.ndarray:
@@ -116,26 +164,39 @@ def _pad_cin(x: jnp.ndarray, mult: int = 8) -> jnp.ndarray:
     return x if pad == 0 else jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
 
 
-def conv3(ctx, name: str, x, h: int, w: int, lrelu=LRELU, residual=None,
+def conv3(ctx, name, x, h: int, w: int, lrelu=LRELU, residual=None,
           pre_add=None) -> jnp.ndarray:
     """Named-parameter 3x3 conv on a flat-padded CHW tensor. ``x`` may
     carry zero-padded extra channels (matching zero weight rows are added)."""
-    wt = ctx[f"{name}.weight"]
-    ci = wt.shape[2]
+    b = x.shape[0]
+    wt = _wparam(ctx, name)
+    ci = wt.shape[-2]
     if x.shape[1] > ci:
-        wt = jnp.pad(wt, ((0, 0), (0, 0), (0, x.shape[1] - ci), (0, 0)))
-    w3 = pack_w3(wt).astype(x.dtype)
-    cout = w3.shape[1]
-    return conv3x3_chw(x, w3, _bias_col(ctx, name, cout), _ones(cout),
+        pad = [(0, 0)] * wt.ndim
+        pad[-2] = (0, x.shape[1] - ci)
+        wt = jnp.pad(wt, pad)
+    if wt.ndim == 5:
+        w3 = _per_batch(pack_w3_batched(wt), b).astype(x.dtype)
+        cout = w3.shape[2]
+    else:
+        w3 = pack_w3(wt).astype(x.dtype)
+        cout = w3.shape[1]
+    return conv3x3_chw(x, w3, _bias_col(ctx, name, cout, b), _ones(cout),
                        pre_add, residual, h=h, w=w, lrelu=lrelu,
                        mask=_mask(ctx))
 
 
-def conv1(ctx, name: str, x, h: int, w: int, lrelu=LRELU, residual=None,
+def conv1(ctx, name, x, h: int, w: int, lrelu=LRELU, residual=None,
           pre_add=None) -> jnp.ndarray:
-    w1 = ctx[f"{name}.weight"][0, 0].T.astype(x.dtype)  # HWIO -> [O, I]
-    cout = w1.shape[0]
-    return conv1x1_chw(x, w1, _bias_col(ctx, name, cout), _ones(cout),
+    b = x.shape[0]
+    wt = _wparam(ctx, name)
+    if wt.ndim == 5:  # [P,1,1,I,O] -> per-sample [B,O,I]
+        w1 = _per_batch(jnp.transpose(wt[:, 0, 0], (0, 2, 1)), b).astype(x.dtype)
+        cout = w1.shape[1]
+    else:
+        w1 = wt[0, 0].T.astype(x.dtype)  # HWIO -> [O, I]
+        cout = w1.shape[0]
+    return conv1x1_chw(x, w1, _bias_col(ctx, name, cout, b), _ones(cout),
                        pre_add, residual, h=h, w=w, lrelu=lrelu,
                        mask=_mask(ctx))
 
@@ -173,12 +234,22 @@ def osconv_agg(ctx, prefix: str, parts: List[jnp.ndarray], scale, h: int,
     return agg
 
 
-def osconv_chw(ctx, prefix: str, parts: List[jnp.ndarray], scale, h: int,
+def osconv_chw(ctx, prefix, parts: List[jnp.ndarray], scale, h: int,
                w: int, lrelu=None) -> jnp.ndarray:
     """OSConv2d on CHW parts: attention-folded per-sample weight, Cin
-    chunked to the VMEM budget."""
+    chunked to the VMEM budget. A tuple ``prefix`` runs the paired chains:
+    the tiny attention MLPs run per chain (XLA, [1,C] vectors); only the
+    aggregated-weight conv — the hot part — is batched."""
     dtype = parts[0].dtype
-    agg = osconv_agg(ctx, prefix, parts, scale, h, w)
+    if _is_paired(prefix):
+        bp = parts[0].shape[0] // len(prefix)
+        agg = jnp.concatenate([
+            osconv_agg(ctx, pfx, [p[j * bp : (j + 1) * bp] for p in parts],
+                       scale, h, w)
+            for j, pfx in enumerate(prefix)
+        ], axis=0)
+    else:
+        agg = osconv_agg(ctx, prefix, parts, scale, h, w)
     cout = agg.shape[-1]
     xs, spans = _group_parts(parts)
     w3s = [pack_w3_batched(agg[:, :, :, off : off + c, :]).astype(dtype)
@@ -197,14 +268,17 @@ def residual_block_chw(ctx, prefix: str, feats: List[jnp.ndarray], scale,
     [3C, S] HBM round trip per block — 62.6 vs 58.4 ms/window on chip, so
     the concat form below stays.)"""
     n = len(feats)
-    x1 = [conv3(ctx, f"{prefix}conv0.{i}", feats[i], h, w) for i in range(n)]
+    x1 = [conv3(ctx, _sub_name(prefix, f"conv0.{i}"), feats[i], h, w)
+          for i in range(n)]
     if use_osconv:
-        base = osconv_chw(ctx, f"{prefix}osconv.", x1, scale, h, w, lrelu=LRELU)
+        base = osconv_chw(ctx, _sub_name(prefix, "osconv."), x1, scale, h, w,
+                          lrelu=LRELU)
     else:
-        base = conv1(ctx, f"{prefix}conv1", jnp.concatenate(x1, axis=1), h, w)
+        base = conv1(ctx, _sub_name(prefix, "conv1"),
+                     jnp.concatenate(x1, axis=1), h, w)
     out = []
     for i in range(n):
-        y = conv3(ctx, f"{prefix}conv2.{i}",
+        y = conv3(ctx, _sub_name(prefix, f"conv2.{i}"),
                   jnp.concatenate([base, x1[i]], axis=1), h, w,
                   residual=feats[i])
         out.append(y)
@@ -247,7 +321,13 @@ def rcab_chw(ctx, prefix: str, x, h: int, w: int) -> jnp.ndarray:
 
     y = conv3(ctx, f"{prefix}rcab.0", x, h, w, lrelu=(0.5, 0.5))  # relu
     y = conv3(ctx, f"{prefix}rcab.2", y, h, w, lrelu=None)
-    a = (y.sum(axis=2, dtype=jnp.float32) / float(h * w)).astype(y.dtype)
+    # channel-attention GAP over the TRUE pixel count: under bucketed eval
+    # (h, w) is the bucket canvas, so the divisor must be the operand
+    # inv_hw (same rule as osconv_agg) or the attention input scales with
+    # the bucket's slack.
+    inv_hw = (ctx.bucket["inv_hw"] if ctx.bucket is not None
+              else jnp.float32(1.0 / (h * w)))
+    a = (y.sum(axis=2, dtype=jnp.float32) * inv_hw).astype(y.dtype)
     a = jnp.maximum(_fc1x1(ctx, f"{prefix}rcab.3.attention.1", a), 0)
     a = sigmoid(_fc1x1(ctx, f"{prefix}rcab.3.attention.3", a))
     return y * a[:, :, None] + x
@@ -338,11 +418,15 @@ def trunk_apply_chw(ctx, h_feat, scale, n_resgroups: int, n_resblocks: int,
     return chw_to_nhwc(x, h, w), chw_to_nhwc(share, h, w)
 
 
-def window_l1_apply_chw(ctx, prefix: str, x, h_past, scale,
+def window_l1_apply_chw(ctx, prefix, x, h_past, scale,
                         num_block: int = 4, out_chw: bool = False) -> jnp.ndarray:
     """WindowUnit_l1 on the CHW engine. x: [B, T=3, H, W, C_in] NHWC window;
     h_past: [B, H, W, C] NHWC or flat-padded CHW [B, C, S] (the eval scan
-    carries CHW so hidden states never round-trip through NHWC)."""
+    carries CHW so hidden states never round-trip through NHWC).
+
+    A tuple ``prefix`` (("f2p_win.", "p2f_win.")) runs BOTH alignment
+    chains in one pass: x/h_past carry the chains stacked chain-major on
+    the batch axis and every conv runs once with per-chain weights."""
     b, t, h, w, _ = x.shape
     x_c = _pad_cin(nhwc_to_chw(x[:, t // 2]))
     sup = jnp.concatenate([x[:, i] for i in range(t) if i != t // 2], axis=-1)
@@ -350,14 +434,14 @@ def window_l1_apply_chw(ctx, prefix: str, x, h_past, scale,
     if h_past.ndim == 4:
         h_past = nhwc_to_chw(h_past)
     feats = [
-        conv3(ctx, f"{prefix}conv_c", x_c, h, w),
-        conv3(ctx, f"{prefix}conv_sup", x_sup, h, w),
+        conv3(ctx, _sub_name(prefix, "conv_c"), x_c, h, w),
+        conv3(ctx, _sub_name(prefix, "conv_sup"), x_sup, h, w),
         h_past,
     ]
     for i in range(num_block):
-        feats = residual_block_chw(ctx, f"{prefix}blocks.{i}.", feats, scale,
-                                   use_osconv=(i >= 1), h=h, w=w)
-    merged = conv3_cat(ctx, f"{prefix}merge", feats, h, w, lrelu=None)
+        feats = residual_block_chw(ctx, _sub_name(prefix, f"blocks.{i}."),
+                                   feats, scale, use_osconv=(i >= 1), h=h, w=w)
+    merged = conv3_cat(ctx, _sub_name(prefix, "merge"), feats, h, w, lrelu=None)
     if out_chw:
         return merged
     return chw_to_nhwc(merged, h, w)

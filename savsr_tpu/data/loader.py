@@ -115,7 +115,7 @@ class DataLoader:
 
         cores = _os.cpu_count() or 1
         self.num_workers = min(num_workers, cores)
-        self.prefetch_depth = max(prefetch_depth, 2 * max(num_workers, 1))
+        self.prefetch_depth = max(prefetch_depth, 2 * max(self.num_workers, 1))
         self._epoch = 0
         if sampler is not None:
             self.sampler = sampler

@@ -90,8 +90,8 @@ def tail_fused(sr_rows_pad, xc_rows, j0, wy, wt, bias, hatc):
     """sr_rows_pad: [B, H+2, C, Wp+128] sampler output rows, one zero row
     above/below and data lanes at [1, W+1); xc_rows: [B, h, Cp, Wl] center
     frame rows (channels zero-padded to a sublane); j0: [H] int32 skip row
-    starts (clipped to h-2); wy: [H, 2] f32 (weight of row j0; lane 1
-    unused-pad); wt: [9, Cp, C] tap-major tail conv weight; bias: [Cp, 1];
+    starts (clipped to h-2); wy: [H] f32 (weight of row j0);
+    wt: [9, Cp, C] tap-major tail conv weight; bias: [Cp, 1];
     hatc: [Wl, Wp] bilinear column matrix. Returns [B, H, Cp, Wp]."""
     bsz, hpad, c, wp2 = sr_rows_pad.shape
     H = hpad - 2

@@ -63,6 +63,39 @@ def test_bucketed_matches_exact(setup, hw, scale):
     assert np.abs(y_b - y_exact).max() < 5e-5
 
 
+@pytest.mark.parametrize("hw,scale", [((12, 16), (2.0, 2.0)),
+                                      ((11, 14), (3.05, 3.05))])
+def test_bucketed_bucket_invariant(setup, hw, scale):
+    """The output must not depend on the bucket chosen (a slack-dependent
+    GAP/attention normalization bug shows up exactly here): run the same
+    clip through the tight bucket and a much roomier one, with amplified
+    inputs so the attention paths carry real signal."""
+    model, params, fwd_bucketed = setup
+    h0, w0 = hw
+    H, W = get_hw(h0, w0, scale)
+    rng = np.random.default_rng(7)
+    # amplitude 4: random-init features are otherwise too small to excite
+    # the RCAB / OSConv attention sigmoids
+    x = (rng.random((1, 7, h0, w0, 3), np.float32) * 8.0 - 4.0)
+
+    y_exact = np.asarray(
+        jax.jit(lambda p, x: model.apply(p, x, scale)[0])(params, jnp.asarray(x))
+    )
+
+    big_lr = (LR_BUCKET[0] * 2, LR_BUCKET[1] * 2)       # 4x area slack
+    big_hr = (HR_BUCKET[0] * 2, HR_BUCKET[1] * 2)
+    outs = []
+    for lr_b, hr_b in [(LR_BUCKET, HR_BUCKET), (big_lr, big_hr)]:
+        ops = make_bucket_operands(h0, w0, scale, lr_b, hr_b)
+        canvas = jnp.asarray(pad_clip_to_bucket(x, lr_b))
+        outs.append(np.asarray(fwd_bucketed(params, canvas, ops))[:, :H, :W])
+
+    scale_mag = max(np.abs(y_exact).max(), 1.0)
+    for y_b in outs:
+        assert np.abs(y_b - y_exact).max() / scale_mag < 5e-5
+    assert np.abs(outs[0] - outs[1]).max() / scale_mag < 5e-5
+
+
 def test_bucketed_single_program(setup):
     """All scales/shapes in the bucket share ONE compiled program."""
     model, params, fwd_bucketed = setup
