@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from ..parallel.mesh import get_data_mesh, replicate
+from ..parallel.mesh import get_mesh_from_opt, replicate
 from ..utils.dist_util import master_only
 from ..utils.logger import get_root_logger
 from .lr_scheduler import build_schedule
@@ -46,7 +46,9 @@ class BaseModel:
     def __init__(self, opt: dict):
         self.opt = opt
         self.is_train = opt["is_train"]
-        self.mesh = get_data_mesh()
+        # 1-D data mesh by default (the DDP analogue); an explicit
+        # ``mesh: {data: N, spatial: M}`` config builds the 2-D variant
+        self.mesh = get_mesh_from_opt(opt)
         self.schedulers: list[Callable] = []
         self.optimizers: list = []
         self.log_dict: Dict[str, float] = {}

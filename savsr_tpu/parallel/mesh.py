@@ -25,6 +25,28 @@ def get_data_mesh(num_devices: Optional[int] = None, axis_name: str = "data") ->
     return Mesh(np.asarray(devices), (axis_name,))
 
 
+def get_mesh_from_opt(opt: Optional[dict]) -> Mesh:
+    """Mesh from the run config. ``opt['mesh']`` is an ordered
+    {axis_name: size} dict (e.g. ``{data: 4, spatial: 2}``); a size of -1
+    fills with the remaining devices. Default (no ``mesh`` key): the 1-D
+    data mesh over all devices — the reference's DDP analogue."""
+    spec = (opt or {}).get("mesh")
+    if not spec:
+        return get_data_mesh()
+    names = list(spec.keys())
+    sizes = [int(spec[n]) for n in names]
+    n_dev = len(jax.devices())
+    if -1 in sizes:
+        fixed = int(np.prod([s for s in sizes if s != -1]))
+        sizes[sizes.index(-1)] = max(1, n_dev // fixed)
+    total = int(np.prod(sizes))
+    if total > n_dev:
+        raise ValueError(f"mesh {dict(zip(names, sizes))} needs {total} "
+                         f"devices, have {n_dev}")
+    devs = np.asarray(jax.devices()[:total]).reshape(sizes)
+    return Mesh(devs, tuple(names))
+
+
 def replicate(tree: Any, mesh: Mesh) -> Any:
     """Place every leaf fully replicated on the mesh."""
     sharding = NamedSharding(mesh, P())
@@ -47,19 +69,37 @@ def shard_or_replicate_batch(tree: Any, mesh: Mesh, axis_name: str = "data") -> 
     ``jax.make_array_from_process_local_data`` so the effective global batch
     matches train.py's ``batch_size_per_gpu * world_size`` accounting."""
     n = mesh.shape[axis_name]
-    batch_sh = NamedSharding(mesh, P(axis_name))
+    n_sp = mesh.shape.get("spatial", 1)
     repl_sh = NamedSharding(mesh, P())
     multiprocess = jax.process_count() > 1
 
+    # in multi-process runs each host passes its LOCAL batch rows, so the
+    # batch axis must divide the host's addressable slice of the mesh
+    n_batch = (len(NamedSharding(mesh, P(axis_name)).addressable_devices)
+               if multiprocess else n)
+
+    def pspec(x):
+        """Batch axis over 'data'; on a 2-D data x spatial mesh also shard
+        the frame HEIGHT (axis ndim-3 of [B,(T,)H,W,C] leaves) over
+        'spatial' — XLA inserts the conv halo exchanges (exactness pinned
+        by tests/test_spatial_sharding.py)."""
+        axes = [None] * x.ndim
+        if n_batch and x.shape[0] % n_batch == 0:
+            axes[0] = axis_name
+        if n_sp > 1 and x.ndim >= 4 and x.shape[x.ndim - 3] % n_sp == 0:
+            axes[x.ndim - 3] = "spatial"
+        if not any(axes):
+            return None
+        return P(*axes)
+
     def put(x):
         if hasattr(x, "shape") and x.ndim >= 1:
-            if multiprocess:
-                # local rows must divide the host's addressable slice of the mesh
-                local_dev = len(batch_sh.addressable_devices)
-                if local_dev and x.shape[0] % local_dev == 0:
-                    return jax.make_array_from_process_local_data(batch_sh, np.asarray(x))
-            elif x.shape[0] % n == 0:
-                return jax.device_put(x, batch_sh)
+            spec = pspec(x)
+            if spec is not None and (not multiprocess or spec[0] == axis_name):
+                sh = NamedSharding(mesh, spec)
+                if multiprocess:
+                    return jax.make_array_from_process_local_data(sh, np.asarray(x))
+                return jax.device_put(x, sh)
         return jax.device_put(x, repl_sh)
 
     return jax.tree_util.tree_map(put, tree)
