@@ -514,7 +514,13 @@ def _stau_fused(ctx, prefix, x, st_feat, offset, st_offset, routing, scale,
     j0f, jcf = j0_of(fy_f)
     j0s, jcs = j0_of(fy_s)
     j0 = jnp.stack([j0f, j0s, jcf, jcs], axis=1)  # [H, 4]
-    j0 = jnp.pad(j0, ((0, H2 - H), (0, 0)), constant_values=1)
+    if H2 != H:
+        # padded HR pair-row: j0=0 (not 1 — j0=1 with h == band would DMA
+        # one LR row past the end of x_rows in HBM), jc=1; the pad row's
+        # output is cropped anyway.
+        j0 = jnp.concatenate(
+            [j0, jnp.array([[0, 0, 1, 1]], jnp.int32)], axis=0
+        )
 
     ce = c // 8
     wc = ctx[f"{prefix}weight_compress"].astype(dtype).reshape(-1, c)
@@ -864,6 +870,12 @@ class SAVSRConfig:
     engines: str = "auto"
     # alignment-chain conv backend: "xla" | "chw" (Pallas serving engine)
     conv_engine: str = "xla"
+    # run the f2p/p2f chains as ONE paired pass with per-chain weights
+    # (CHW engine only). Measured on-chip: 18.5 vs 20.0 fps — the
+    # per-sample weight indexing costs more than the halved launches save,
+    # so the default stays False; kept as a knob (and as coverage for the
+    # per-sample-weight kernel path the OSConv folding also uses).
+    pair_align: bool = False
     # 'float32' reproduces the reference bit-for-bit-ish; 'bfloat16'/'default'
     # unlocks full-rate MXU matmuls for the perf path.
     matmul_precision: str = "float32"
@@ -1071,23 +1083,51 @@ def _savsr_apply_inner(
             from .chw_engine import window_l1_apply_chw
 
             s_total = layout_params(hp, wp)[4]
+
+        if use_chw and cfg.pair_align:
+            # both chains in ONE paired pass: windows stacked chain-major on
+            # the batch axis, per-chain weights per sample — halves kernel
+            # launches on the sequential alignment scan
+            h2 = jnp.zeros((2 * b, cfg.num_feat, s_total), dtype=x.dtype)
+
+            def body_paired(h2, xs):
+                it_b, it_f = xs
+                it2 = jnp.concatenate([it_b, it_f], axis=0)
+                h2 = window_l1_apply_chw(
+                    ctx, ("f2p_win.", "p2f_win."), it2, h2, scale,
+                    cfg.w1_num_block, out_chw=True,
+                )
+                return h2, h2
+
+            _, h2_seq = jax.lax.scan(body_paired, h2, (wins_b, wins_f))
+            hf_seq, hp_seq = h2_seq[:, :b], h2_seq[:, b:]
+        elif use_chw:
             ht_f2p = jnp.zeros((b, cfg.num_feat, s_total), dtype=x.dtype)
             ht_p2f = jnp.zeros_like(ht_f2p)
 
-        def body(carry, xs):
-            hf, hp_ = carry
-            it_b, it_f = xs
-            if use_chw:
+            def body_chw(carry, xs):
+                hf, hp_ = carry
+                it_b, it_f = xs
                 hf = window_l1_apply_chw(ctx, "f2p_win.", it_b, hf, scale,
                                          cfg.w1_num_block, out_chw=True)
                 hp_ = window_l1_apply_chw(ctx, "p2f_win.", it_f, hp_, scale,
                                           cfg.w1_num_block, out_chw=True)
-            else:
+                return (hf, hp_), (hf, hp_)
+
+            _, (hf_seq, hp_seq) = jax.lax.scan(body_chw, (ht_f2p, ht_p2f),
+                                               (wins_b, wins_f))
+        else:
+            ht_f2p = jnp.zeros((b, hp, wp, cfg.num_feat), dtype=x.dtype)
+            ht_p2f = jnp.zeros_like(ht_f2p)
+
+            def body(carry, xs):
+                hf, hp_ = carry
+                it_b, it_f = xs
                 hf = window_l1_apply(ctx, "f2p_win.", it_b, hf, scale, cfg.w1_num_block, impl)
                 hp_ = window_l1_apply(ctx, "p2f_win.", it_f, hp_, scale, cfg.w1_num_block, impl)
-            return (hf, hp_), (hf, hp_)
+                return (hf, hp_), (hf, hp_)
 
-        _, (hf_seq, hp_seq) = jax.lax.scan(body, (ht_f2p, ht_p2f), (wins_b, wins_f))
+            _, (hf_seq, hp_seq) = jax.lax.scan(body, (ht_f2p, ht_p2f), (wins_b, wins_f))
         # f2p outputs were produced from the future end backwards
         cat_axis = 1 if use_chw else -1
         h_feat = [

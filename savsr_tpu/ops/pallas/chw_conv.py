@@ -129,9 +129,20 @@ def _compiler_params(dtype):
 # ---------------------------------------------------------------------------
 
 
+def _vec_col(ref, bi, n):
+    """Select this sample's [Cout, 1] column from a whole [N, Cout, 1] VMEM
+    ref. N==1 -> shared; otherwise an unrolled value select (a ref-slice
+    .at[i] would need a 128-aligned lane slice, which lane dim 1 can't give)."""
+    v = ref[:]
+    col = v[0]
+    for j in range(1, n):
+        col = jnp.where(bi == j, v[j], col)
+    return col
+
+
 def _body3(x_ref, w_ref, bias_ref, scale_ref, pre_ref, res_ref, mask_ref,
            o_ref, imcol, xslab, sem, *, cin, cout, th, wp, ns, lrelu,
-           use_pre, use_res, kpad):
+           use_pre, use_res, kpad, nb_bias, nb_scale):
     bi = pl.program_id(0)
     s = pl.program_id(1)
     block = th * wp
@@ -183,10 +194,10 @@ def _body3(x_ref, w_ref, bias_ref, scale_ref, pre_ref, res_ref, mask_ref,
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-        y = a + bias_ref[:].astype(jnp.float32)
+        y = a + _vec_col(bias_ref, bi, nb_bias).astype(jnp.float32)
         if use_pre:
             y = y + pre_ref[:].astype(jnp.float32)
-        y = y * scale_ref[:].astype(jnp.float32)
+        y = y * _vec_col(scale_ref, bi, nb_scale).astype(jnp.float32)
         if lrelu is not None:
             la, lb = lrelu
             y = la * y + lb * jnp.abs(y)
@@ -201,16 +212,23 @@ def _body3(x_ref, w_ref, bias_ref, scale_ref, pre_ref, res_ref, mask_ref,
 
 
 def _body1(x_ref, w_ref, bias_ref, scale_ref, pre_ref, res_ref, mask_ref,
-           o_ref, *, cout, lrelu, use_pre, use_res):
+           o_ref, *, cout, lrelu, use_pre, use_res, nw, nb_bias, nb_scale):
+    bi = pl.program_id(0)
+    # whole-ref load + value select: a ref slice .at[i] would need the
+    # lane dim (Cin) 128-aligned, which 64-channel convs can't give
+    wv = w_ref[:]
+    w = wv[0]
+    for j in range(1, nw):
+        w = jnp.where(bi == j, wv[j], w)
     y = jax.lax.dot_general(
-        w_ref[:], x_ref[0],
+        w, x_ref[0],
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    y = y + bias_ref[:].astype(jnp.float32)
+    y = y + _vec_col(bias_ref, bi, nb_bias).astype(jnp.float32)
     if use_pre:
         y = y + pre_ref[:].astype(jnp.float32)
-    y = y * scale_ref[:].astype(jnp.float32)
+    y = y * _vec_col(scale_ref, bi, nb_scale).astype(jnp.float32)
     if lrelu is not None:
         la, lb = lrelu
         y = la * y + lb * jnp.abs(y)
@@ -223,6 +241,17 @@ def _body1(x_ref, w_ref, bias_ref, scale_ref, pre_ref, res_ref, mask_ref,
 # ---------------------------------------------------------------------------
 # entry points
 # ---------------------------------------------------------------------------
+
+
+def _vec3(v, b, cout):
+    """Normalize a [Cout, 1] (shared) / [B, Cout, 1] (per-sample) bias or
+    scale operand to 3-D. It ships whole to VMEM and the kernel indexes the
+    leading dim with ``bi % shape[0]`` — a blocked spec would need a
+    128-aligned lane slice, which a [*, Cout, 1] operand cannot give."""
+    if v.ndim == 2:
+        v = v[None]
+    assert v.shape[0] in (1, b) and v.shape[1] == cout, (v.shape, b, cout)
+    return v
 
 
 def _opt_spec(x, cout, block, cblock: int = 0):
@@ -268,6 +297,12 @@ def conv3x3_chw(x, w3, bias, out_scale, pre_add, residual, *, h, w,
         lambda bi, s: (bi, 0, 0, 0))
     cout = w3.shape[2]
 
+    # bias / out_scale: [Cout, 1] shared or [B, Cout, 1] per-sample (the
+    # paired f2p/p2f alignment chains carry per-chain biases)
+    bias = _vec3(bias, b, cout)
+    out_scale = _vec3(out_scale, b, cout)
+    nb_bias, nb_scale = bias.shape[0], out_scale.shape[0]
+
     pre, pre_spec, use_pre = _opt_spec(pre_add, cout, block, pre_block)
     res, res_spec, use_res = _opt_spec(residual, cout, block)
     if mask is None:
@@ -277,12 +312,14 @@ def conv3x3_chw(x, w3, bias, out_scale, pre_add, residual, *, h, w,
     kernel = functools.partial(
         _body3, cin=cin, cout=cout, th=th, wp=wp, ns=ns, lrelu=lrelu,
         use_pre=use_pre, use_res=use_res, kpad=kpad,
+        nb_bias=nb_bias, nb_scale=nb_scale,
     )
 
     def wrapped(x_ref, w_ref, bias_ref, scale_ref, pre_ref, res_ref,
                 mask_ref, o_ref, imcol, xslab, sem):
-        kernel(x_ref, w_ref.at[0], bias_ref, scale_ref, pre_ref.at[0],
-               res_ref.at[0], mask_ref, o_ref.at[0], imcol, xslab, sem)
+        kernel(x_ref, w_ref.at[0], bias_ref, scale_ref,
+               pre_ref.at[0], res_ref.at[0], mask_ref, o_ref.at[0],
+               imcol, xslab, sem)
 
     out = pl.pallas_call(
         wrapped,
@@ -295,8 +332,8 @@ def conv3x3_chw(x, w3, bias, out_scale, pre_add, residual, *, h, w,
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
             pl.BlockSpec((1, 3, cout, w3.shape[3]), wmap,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # bias whole [Nb,Cout,1]
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # scale whole
             pre_spec,
             res_spec,
             pl.BlockSpec((1, block), lambda bi, s: (0, s),
@@ -347,27 +384,35 @@ def conv1x1_chw(x, w1, bias, out_scale, pre_add, residual, *, h, w,
                 lrelu=None, mask=None):
     """Flat-padded CHW 1x1 conv (pure channel matmul) with fused epilogue.
 
-    w1: [Cout, Cin] (static — per-sample 1x1 weights are not needed in the
-    chain). Other args as conv3x3_chw.
+    w1: [Cout, Cin] (static) or [B, Cout, Cin] (per-sample — the paired
+    f2p/p2f chains). Other args as conv3x3_chw.
     """
     b, cin, s_total = x.shape
     th, ns, wp, block, s_expect, guard = layout_params(h, w)
     assert s_total == s_expect
-    cout = w1.shape[0]
+    if w1.ndim == 2:
+        w1 = w1[None]
+    assert w1.shape[0] in (1, b)
+    cout = w1.shape[1]
+    nw = w1.shape[0]
 
+    bias = _vec3(bias, b, cout)
+    out_scale = _vec3(out_scale, b, cout)
+    nb_bias, nb_scale = bias.shape[0], out_scale.shape[0]
     pre, pre_spec, use_pre = _opt_spec(pre_add, cout, block)
     res, res_spec, use_res = _opt_spec(residual, cout, block)
     if mask is None:
         mask = jnp.asarray(_pad_mask(h, w))
 
     kernel = functools.partial(
-        _body1, cout=cout, lrelu=lrelu, use_pre=use_pre, use_res=use_res
+        _body1, cout=cout, lrelu=lrelu, use_pre=use_pre, use_res=use_res,
+        nw=nw, nb_bias=nb_bias, nb_scale=nb_scale,
     )
 
     def wrapped(x_ref, w_ref, bias_ref, scale_ref, pre_ref, res_ref,
                 mask_ref, o_ref):
-        kernel(x_ref, w_ref, bias_ref, scale_ref, pre_ref.at[0],
-               res_ref.at[0], mask_ref, o_ref.at[0])
+        kernel(x_ref, w_ref, bias_ref, scale_ref,
+               pre_ref.at[0], res_ref.at[0], mask_ref, o_ref.at[0])
 
     out = pl.pallas_call(
         wrapped,
@@ -376,9 +421,9 @@ def conv1x1_chw(x, w1, bias, out_scale, pre_add, residual, *, h, w,
         in_specs=[
             pl.BlockSpec((1, cin, block), lambda bi, s: (bi, 0, s),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # w1 [Cout, Cin] whole
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # w1 whole [Nw,Cout,Cin]
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # bias whole
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # scale whole
             pre_spec,
             res_spec,
             pl.BlockSpec((1, block), lambda bi, s: (0, s),
