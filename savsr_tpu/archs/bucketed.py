@@ -48,6 +48,85 @@ from .savsr_arch import (
 
 Operands = Dict[str, jnp.ndarray]
 
+# per-pixel cost anchors for the f32 CHW quality-eval path that
+# bucket_eval actually runs (PERF.md: one global Vid4 bucket, LR 528x656,
+# costs ~1.4 s/frame; split ~70/30 between LR-proportional work
+# (alignment scan + trunk + window_l2) and HR-proportional work
+# (STAU + tail), the same ~37:1 per-pixel ratio as the measured bf16
+# serving stage split). Only the RATIO matters for grouping; the absolute
+# level sets the trade against ``compile_cost``.
+_LR_COST = 0.98 / (528 * 656)
+_HR_COST = 0.42 / (2112 * 2624)
+
+
+def bucket_requirements(h0: int, w0: int, scale) -> Tuple[int, int, int, int]:
+    """Minimum (lr_h, lr_w, hr_h, hr_w) bucket dims for a (shape, scale)."""
+    scale = normalize_scale(scale)
+    he, we = h0 + h0 % 2, w0 + w0 % 2
+    H, W = get_hw(h0, w0, scale)
+    return he + 2, we + 2, H, W
+
+
+def plan_buckets(items, max_buckets: int = 3, compile_cost: float = 60.0,
+                 mult: Tuple[int, int] = (16, 64)):
+    """Group a sweep's (shape, scale) set into <= max_buckets buckets
+    minimizing estimated wall-clock = padded-canvas compute + one compile
+    per bucket (VERDICT r2 #5: one global bucket wastes ~1.4 s/frame on
+    small scales; per-(shape, scale) programs pay the compile wall).
+
+    items: list of (h0, w0, scale, weight) — weight = frames at that
+    (shape, scale). compile_cost: seconds charged per distinct bucket
+    (~60 cold through the remote compiler, ~15 warm; PERF.md).
+    Returns {(h0, w0, scale): ((lr_h, lr_w), (hr_h, hr_w))}.
+    """
+    if not items:
+        return {}
+    rnd = lambda v, m: -(-v // m) * m
+    norm = [(h0, w0, normalize_scale(s), wgt) for h0, w0, s, wgt in items]
+    reqs = [bucket_requirements(h0, w0, s) for h0, w0, s, _ in norm]
+    order = sorted(range(len(norm)),
+                   key=lambda i: (reqs[i][0] * reqs[i][1],
+                                  reqs[i][2] * reqs[i][3]))
+
+    def group_cost(i, j):
+        """Cost of items order[i..j] sharing one bucket, plus its dims."""
+        lr_h = rnd(max(reqs[order[k]][0] for k in range(i, j + 1)), mult[0])
+        lr_w = rnd(max(reqs[order[k]][1] for k in range(i, j + 1)), mult[0])
+        hr_h = rnd(max(reqs[order[k]][2] for k in range(i, j + 1)), mult[1])
+        hr_w = rnd(max(reqs[order[k]][3] for k in range(i, j + 1)), mult[1])
+        per_frame = _LR_COST * lr_h * lr_w + _HR_COST * hr_h * hr_w
+        frames = sum(norm[order[k]][3] for k in range(i, j + 1))
+        return frames * per_frame + compile_cost, ((lr_h, lr_w), (hr_h, hr_w))
+
+    n = len(order)
+    # DP over contiguous partitions of the sorted order
+    INF = float("inf")
+    best = [[(INF, None)] * (max_buckets + 1) for _ in range(n + 1)]
+    best[0] = [(0.0, None)] + [(0.0, None)] * max_buckets
+    for j in range(1, n + 1):
+        for g in range(1, max_buckets + 1):
+            for i in range(j):
+                prev = best[i][g - 1][0]
+                if prev == INF:
+                    continue
+                c, _ = group_cost(i, j - 1)
+                if prev + c < best[j][g][0]:
+                    best[j][g] = (prev + c, i)
+    g = min(range(1, max_buckets + 1), key=lambda g: best[n][g][0])
+    # walk back the split points
+    splits, j = [], n
+    while j > 0:
+        i = best[j][g][1]
+        splits.append((i, j))
+        j, g = i, g - 1
+    plan = {}
+    for i, j in splits:
+        _, bucket = group_cost(i, j - 1)
+        for k in range(i, j):
+            h0, w0, s, _ = norm[order[k]]
+            plan[(h0, w0, s)] = bucket
+    return plan
+
 
 def _chw_mask(hb: int, wb: int, h: int, w: int) -> np.ndarray:
     """[1, S] flat-layout mask marking the true (h, w) region of a

@@ -243,7 +243,11 @@ class SRModel(BaseModel):
         h0, w0 = int(lq.shape[2]), int(lq.shape[3])
         H, W = get_hw(h0, w0, scale)
         rnd = lambda v, m: -(-v // m) * m
-        if val_opt.get("bucket_lr"):
+        plan = getattr(self, "bucket_plan", None)
+        if plan and (h0, w0, scale) in plan:
+            # auto-grouped sweep plan (test.py::_plan_sweep_buckets)
+            lrb, hrb = plan[(h0, w0, scale)]
+        elif val_opt.get("bucket_lr"):
             # fixed buckets: the whole multi-scale sweep shares ONE program
             lrb = tuple(val_opt["bucket_lr"])
             hrb = tuple(val_opt["bucket_hr"])

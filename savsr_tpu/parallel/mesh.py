@@ -48,8 +48,27 @@ def get_mesh_from_opt(opt: Optional[dict]) -> Mesh:
 
 
 def replicate(tree: Any, mesh: Mesh) -> Any:
-    """Place every leaf fully replicated on the mesh."""
+    """Place every leaf fully replicated on the mesh.
+
+    Multi-process: assemble the global array from per-local-device copies
+    instead of a multi-process device_put — the latter runs a best-effort
+    cross-process value-equality collective that is flaky under load, and
+    every caller here passes deterministically identical values (same seed,
+    same checkpoint) on all processes."""
     sharding = NamedSharding(mesh, P())
+    if jax.process_count() > 1:
+        local_devs = list(sharding.addressable_devices)
+
+        def put(x):
+            if isinstance(x, jax.Array) and x.sharding == sharding:
+                return x
+            arr = np.asarray(x)
+            shards = [jax.device_put(arr, d) for d in local_devs]
+            return jax.make_array_from_single_device_arrays(
+                arr.shape, sharding, shards
+            )
+
+        return jax.tree_util.tree_map(put, tree)
     return jax.device_put(tree, sharding)
 
 
@@ -100,6 +119,11 @@ def shard_or_replicate_batch(tree: Any, mesh: Mesh, axis_name: str = "data") -> 
                 if multiprocess:
                     return jax.make_array_from_process_local_data(sh, np.asarray(x))
                 return jax.device_put(x, sh)
+        if multiprocess:
+            # per-local-device replication (see replicate(): multi-process
+            # device_put's equality collective is flaky, and a non-shardable
+            # leaf may legitimately differ across hosts)
+            return replicate(x, mesh)
         return jax.device_put(x, repl_sh)
 
     return jax.tree_util.tree_map(put, tree)

@@ -96,6 +96,54 @@ def test_bucketed_bucket_invariant(setup, hw, scale):
     assert np.abs(outs[0] - outs[1]).max() / scale_mag < 5e-5
 
 
+def test_plan_buckets_groups_and_fits():
+    """plan_buckets must (a) give every item a bucket that dominates its
+    requirements, (b) split a bimodal sweep instead of one global bucket,
+    and (c) never beat the single-bucket cost by padding."""
+    from savsr_tpu.archs.bucketed import (
+        _HR_COST,
+        _LR_COST,
+        bucket_requirements,
+        plan_buckets,
+    )
+
+    # Vid4-like: near-constant LR shape, HR spans x1.2 to x4; frame counts
+    # at real sweep magnitudes (the split must amortize its extra compile)
+    small = [(120, 160, (1.2, 1.2), 500), (124, 168, (1.5, 1.5), 500)]
+    large = [(120, 160, (4.0, 4.0), 500), (132, 176, (3.5, 4.0), 500)]
+    items = small + large
+    plan = plan_buckets(items, max_buckets=3, compile_cost=10.0)
+
+    assert len(plan) == len(items)
+    for h0, w0, s, _ in items:
+        key = (h0, w0, (float(s[0]), float(s[1])))
+        (lh, lw), (hh, hw) = plan[key]
+        rl_h, rl_w, rh_h, rh_w = bucket_requirements(h0, w0, s)
+        assert lh >= rl_h and lw >= rl_w and hh >= rh_h and hw >= rh_w
+
+    buckets = set(plan.values())
+    assert len(buckets) >= 2  # x1.2 and x4 must not share an HR canvas
+
+    def runtime(plan):
+        tot = 0.0
+        for h0, w0, s, n in items:
+            (lh, lw), (hh, hw) = plan[(h0, w0, (float(s[0]), float(s[1])))]
+            tot += n * (_LR_COST * lh * lw + _HR_COST * hh * hw)
+        return tot
+
+    single = plan_buckets(items, max_buckets=1, compile_cost=10.0)
+    assert runtime(plan) < runtime(single)
+
+
+def test_plan_buckets_compile_cost_collapses():
+    """A huge per-bucket compile cost must collapse the plan to one bucket."""
+    from savsr_tpu.archs.bucketed import plan_buckets
+
+    items = [(64, 64, (1.5, 1.5), 2), (64, 64, (4.0, 4.0), 2)]
+    plan = plan_buckets(items, max_buckets=3, compile_cost=1e9)
+    assert len(set(plan.values())) == 1
+
+
 def test_bucketed_single_program(setup):
     """All scales/shapes in the bucket share ONE compiled program."""
     model, params, fwd_bucketed = setup

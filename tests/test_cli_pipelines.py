@@ -188,3 +188,81 @@ logger:
     train_pipeline(str(tmp_path))
     assert (exp / "models" / "net_g_4.npz").is_file()
     assert (exp / "training_states" / "4.state").is_file()
+
+
+def test_test_pipeline_auto_bucketed(tiny_world, tmp_path, monkeypatch):
+    """Two-scale sweep with ``val: bucket_auto``: the pipeline pre-scans the
+    datasets, plans buckets, and the bucketed results match the exact path
+    (the x2/x4 HR canvases must not be forced into one bucket when the
+    compile cost is low)."""
+    from savsr_tpu.test import test_pipeline
+
+    def yml(bucket_block):
+        return f"""
+name: test_autobucket_cli
+model_type: ASVSRModel
+num_gpu: 1
+manual_seed: 0
+
+datasets:
+  test_01:
+    name: Vid4_x2
+    type: ASVideoTestDataset
+    dataroot_gt: {tiny_world}/Vid4/GT
+    dataroot_lq: {tiny_world}/Vid4/GT
+    io_backend:
+      type: disk
+    cache_data: true
+    num_frame: 7
+    padding: reflection
+    use_arbitrary_scale_downsampling: true
+    downsampling_scale: !!python/tuple [2, 2]
+    downsampling_mode: torch
+  test_02:
+    name: Vid4_x4
+    type: ASVideoTestDataset
+    dataroot_gt: {tiny_world}/Vid4/GT
+    dataroot_lq: {tiny_world}/Vid4/GT
+    io_backend:
+      type: disk
+    cache_data: true
+    num_frame: 7
+    padding: reflection
+    use_arbitrary_scale_downsampling: true
+    downsampling_scale: !!python/tuple [4, 4]
+    downsampling_mode: torch
+{NET_TINY}
+path:
+  pretrain_network_g: ~
+  strict_load_g: true
+  resume_state: ~
+
+val:
+  save_img: false
+  suffix: ~
+{bucket_block}
+  metrics:
+    psnr_y:
+      type: calculate_psnr
+      crop_border: 0
+      test_y_channel: true
+"""
+
+    # exact (non-bucketed) reference numbers
+    cfg = tmp_path / "exact.yml"
+    cfg.write_text(yml(""))
+    monkeypatch.setattr("sys.argv", ["test.py", "-opt", str(cfg)])
+    exact = test_pipeline(str(tmp_path))
+
+    bucket_block = (
+        "  bucket_eval: true\n"
+        "  bucket_auto: true\n"
+        "  bucket_compile_cost: 0.001\n"
+    )
+    cfg2 = tmp_path / "auto.yml"
+    cfg2.write_text(yml(bucket_block))
+    monkeypatch.setattr("sys.argv", ["test.py", "-opt", str(cfg2)])
+    auto = test_pipeline(str(tmp_path))
+
+    for ds in ("Vid4_x2", "Vid4_x4"):
+        assert abs(auto[ds]["psnr_y"] - exact[ds]["psnr_y"]) < 0.01, ds
