@@ -72,11 +72,12 @@ def _group_parts(parts: List[jnp.ndarray], max_cin: int = None):
 
 
 def pack_w3_batched(w_bklio: jnp.ndarray) -> jnp.ndarray:
-    """[B, 3, 3, Cin, Cout] per-sample HWIO banks -> [B, 3(dy), Cout, Kp]."""
+    """[B, 3, 3, Cin, Cout] per-sample HWIO banks -> [B, 3*Cout, Kp]
+    dy-major (matching pack_w3's stacked-M layout)."""
     b, _, _, ci, co = w_bklio.shape
-    w3 = jnp.transpose(w_bklio, (0, 1, 4, 2, 3)).reshape(b, 3, co, 3 * ci)
+    w3 = jnp.transpose(w_bklio, (0, 1, 4, 2, 3)).reshape(b, 3 * co, 3 * ci)
     kp = _round_up(3 * ci, 128)
-    return jnp.pad(w3, ((0, 0), (0, 0), (0, 0), (0, kp - 3 * ci)))
+    return jnp.pad(w3, ((0, 0), (0, 0), (0, kp - 3 * ci)))
 
 
 def _mask(ctx):
@@ -177,10 +178,10 @@ def conv3(ctx, name, x, h: int, w: int, lrelu=LRELU, residual=None,
         wt = jnp.pad(wt, pad)
     if wt.ndim == 5:
         w3 = _per_batch(pack_w3_batched(wt), b).astype(x.dtype)
-        cout = w3.shape[2]
+        cout = w3.shape[1] // 3
     else:
         w3 = pack_w3(wt).astype(x.dtype)
-        cout = w3.shape[1]
+        cout = w3.shape[0] // 3
     return conv3x3_chw(x, w3, _bias_col(ctx, name, cout, b), _ones(cout),
                        pre_add, residual, h=h, w=w, lrelu=lrelu,
                        mask=_mask(ctx))

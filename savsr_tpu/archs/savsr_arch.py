@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 from dataclasses import dataclass
 from typing import Dict, List, Tuple
 
@@ -1134,6 +1135,11 @@ def _savsr_apply_inner(
             jnp.concatenate([hf_seq[n_iter - 1 - i], hp_seq[i]], axis=cat_axis)
             for i in range(n_iter)
         ]
+    # dev-only stage probe for scripts/stage_bench.py: return the named
+    # intermediate so stage costs can be measured as prefix diffs
+    _stop = os.environ.get("SAVSR_STOP_AFTER")
+    if _stop == "align":
+        return h_feat[0], ctx.stats_updates
     n_l2 = (cfg.iter_win - cfg.fusion_win + 1) // 2
     for i in range(n_l2):
         h_feat = window_l2_apply(
@@ -1143,6 +1149,8 @@ def _savsr_apply_inner(
             hw=(hp, wp),
         )
     h_feat = h_feat[0]
+    if _stop == "l2":
+        return h_feat, ctx.stats_updates
     if ctx.conv_engine == "chw" and not ctx.train_engines:
         from .chw_engine import trunk_apply_chw
 
@@ -1192,10 +1200,14 @@ def _savsr_apply_inner(
 
     # arbitrary-scale upsampling on the un-padded region
     if ctx.conv_engine == "chw" and not ctx.train_engines:
+        if _stop == "trunk":
+            return h_feat, ctx.stats_updates
         sr_rows = stau_apply(
             ctx, "upsample.", h_feat[:, :h_input, :w_input], scale,
             align_feat[:, :h_input, :w_input], cfg.num_feat, return_rows=True,
         )
+        if _stop == "stau":
+            return sr_rows, ctx.stats_updates
         sr = tail_fused_apply(ctx, sr_rows, x_center, h_input, w_input, H, W)
         return sr, ctx.stats_updates
 

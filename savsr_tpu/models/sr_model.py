@@ -74,9 +74,9 @@ class SRModel(BaseModel):
                         {k: jnp.asarray(v) for k, v in ema.items()}, self.mesh
                     )
                 except Exception:
-                    self.params_ema = dict(self.params)
+                    self.params_ema = jax.tree_util.tree_map(jnp.copy, dict(self.params))  # copy: donation must not alias params
             else:
-                self.params_ema = dict(self.params)
+                self.params_ema = jax.tree_util.tree_map(jnp.copy, dict(self.params))  # copy: donation must not alias params
 
         self.cri_pix = build_loss(train_opt["pixel_opt"]) if train_opt.get("pixel_opt") else None
         self.cri_perceptual = (
@@ -169,7 +169,10 @@ class SRModel(BaseModel):
         losses["l_total"] = total
         return total, (losses, stats_updates, output)
 
-    @functools.partial(jax.jit, static_argnames=("self", "scale"))
+    @functools.partial(
+        jax.jit, static_argnames=("self", "scale"),
+        donate_argnames=("trainable", "stats", "ema", "opt_state"),
+    )
     def _train_step(self, trainable, stats, ema, opt_state, lq, gt, lr, scale,
                     grad_factors=None):
         (_, (losses, stats_updates, _)), grads = jax.value_and_grad(

@@ -104,14 +104,16 @@ def _pad_mask(h: int, w: int) -> np.ndarray:
 
 
 def pack_w3(w_hwio) -> jnp.ndarray:
-    """[3, 3, Cin, Cout] (HWIO) -> [3(dy), Cout, Kp], K = dx*Cin + ci,
-    zero-padded to Kp = roundup(3*Cin, 128) (the MXU pads partial 128-chunks
-    anyway, so the zero columns are free)."""
+    """[3, 3, Cin, Cout] (HWIO) -> [3*Cout, Kp] dy-major (rows dy*Cout+co),
+    K = dx*Cin + ci, zero-padded to Kp = roundup(3*Cin, 128) (the MXU pads
+    partial 128-chunks anyway, so the zero columns are free). The dy-major
+    row stacking lets the kernel fuse the dy0/dy1 matmuls into one full
+    128-row MXU tile (Cout=64 alone idles half the array)."""
     kh, kw, ci, co = w_hwio.shape
     assert kh == 3 and kw == 3
-    w = jnp.transpose(w_hwio, (0, 3, 1, 2)).reshape(3, co, 3 * ci)
+    w = jnp.transpose(w_hwio, (0, 3, 1, 2)).reshape(3 * co, 3 * ci)
     kp = _round_up(3 * ci, 128)
-    return jnp.pad(w, ((0, 0), (0, 0), (0, kp - 3 * ci)))
+    return jnp.pad(w, ((0, 0), (0, kp - 3 * ci)))
 
 
 
@@ -183,14 +185,21 @@ def _body3(x_ref, w_ref, bias_ref, scale_ref, pre_ref, res_ref, mask_ref,
         for dx in range(3):
             imcol[pl.ds(dx * cin, cin), :] = xslab[slot, :, pl.ds(127 + dx, el2)]
 
+        # One matmul per dy on the dy-shifted imcol slice. (Measured dead
+        # end, for the record: stacking dy0+dy1 weights into a [2*Cout, K]
+        # full-128-row tile over the union column window [0, block+wp) —
+        # predicted ~29% fewer MXU column-streams under a "M=64 idles half
+        # the array" model — benched 19.45 vs 20.04 fps: the value
+        # slices/adds of the [128, block+wp] f32 accumulator cost more than
+        # the tile packing saves, i.e. these shapes are not M-bound.)
         a = jax.lax.dot_general(
-            w_ref[0], imcol[:, pl.ds(0, block)],
+            w_ref[pl.ds(0, cout), :], imcol[:, pl.ds(0, block)],
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         for dy in (1, 2):
             a += jax.lax.dot_general(
-                w_ref[dy], imcol[:, pl.ds(dy * wp, block)],
+                w_ref[pl.ds(dy * cout, cout), :], imcol[:, pl.ds(dy * wp, block)],
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
@@ -289,13 +298,13 @@ def conv3x3_chw(x, w3, bias, out_scale, pre_add, residual, *, h, w,
     b, cin, s_total = x.shape
     th, ns, wp, block, s_expect, guard = layout_params(h, w)
     assert s_total == s_expect, (s_total, s_expect)
-    if w3.ndim == 3:  # static [3, Cout, Kp] weight shared across the batch
+    if w3.ndim == 2:  # static [3*Cout, Kp] weight shared across the batch
         w3 = w3[None]
-    assert w3.shape[3] == _round_up(3 * cin, 128), "use pack_w3"
+    assert w3.shape[2] == _round_up(3 * cin, 128), "use pack_w3"
     assert w3.shape[0] in (1, b)
-    wmap = (lambda bi, s: (0, 0, 0, 0)) if w3.shape[0] == 1 else (
-        lambda bi, s: (bi, 0, 0, 0))
-    cout = w3.shape[2]
+    wmap = (lambda bi, s: (0, 0, 0)) if w3.shape[0] == 1 else (
+        lambda bi, s: (bi, 0, 0))
+    cout = w3.shape[1] // 3
 
     # bias / out_scale: [Cout, 1] shared or [B, Cout, 1] per-sample (the
     # paired f2p/p2f alignment chains carry per-chain biases)
@@ -308,7 +317,7 @@ def conv3x3_chw(x, w3, bias, out_scale, pre_add, residual, *, h, w,
     if mask is None:
         mask = jnp.asarray(_pad_mask(h, w))
 
-    kpad = w3.shape[3]
+    kpad = w3.shape[2]
     kernel = functools.partial(
         _body3, cin=cin, cout=cout, th=th, wp=wp, ns=ns, lrelu=lrelu,
         use_pre=use_pre, use_res=use_res, kpad=kpad,
@@ -330,7 +339,7 @@ def conv3x3_chw(x, w3, bias, out_scale, pre_add, residual, *, h, w,
             # then cannot slice sub-sublane channel counts (e.g. the 6-ch
             # conv_sup input); the kernel's manual DMA needs an HBM source
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
-            pl.BlockSpec((1, 3, cout, w3.shape[3]), wmap,
+            pl.BlockSpec((1, 3 * cout, w3.shape[2]), wmap,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # bias whole [Nb,Cout,1]
             pl.BlockSpec(memory_space=pltpu.VMEM),  # scale whole

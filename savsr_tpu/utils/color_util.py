@@ -72,12 +72,15 @@ def ycbcr2bgr(img: np.ndarray) -> np.ndarray:
 
 
 def rgb2ycbcr_jnp(img, y_only: bool = True):
-    """jnp Y-channel transform for on-device metrics: img float [0,1] NHWC RGB
-    -> Y in [16/255 .. 235/255] scale matching rgb2ycbcr_pt semantics."""
+    """jnp colorspace transform for on-device metrics: img float [0,1] NHWC
+    RGB -> Y in [16/255 .. 235/255] (y_only) or full YCbCr [..., 3],
+    matching rgb2ycbcr_pt semantics (reference color_util.py)."""
     import jax.numpy as jnp
 
-    weight = jnp.asarray(_Y_FROM_RGB, dtype=img.dtype)
-    if not y_only:
-        raise NotImplementedError("only y_only=True is used by metrics")
-    y = img @ weight + 16.0
-    return y / 255.0
+    if y_only:
+        weight = jnp.asarray(_Y_FROM_RGB, dtype=img.dtype)
+        y = img @ weight + 16.0
+        return y / 255.0
+    mat = jnp.asarray(_RGB2YCBCR, dtype=img.dtype)
+    off = jnp.asarray([16.0, 128.0, 128.0], dtype=img.dtype)
+    return (img @ mat + off) / 255.0

@@ -1,8 +1,9 @@
-"""Pluggable file-IO backends (disk / lmdb / memory).
+"""Pluggable file-IO backends (disk / lmdb / memcached / memory).
 
 Same role as lbasicsr/utils/file_client.py: datasets fetch bytes by key
 through a FileClient so the storage backend is a config choice. The lmdb
-backend is gated on the ``lmdb`` package being importable.
+and memcached backends are gated on their client packages being importable
+(the reference behaves identically, file_client.py:26-39).
 """
 
 from __future__ import annotations
@@ -30,6 +31,39 @@ class MemoryBackend(BaseStorageBackend):
 
     def get(self, filepath: str) -> bytes:
         return self.store[str(filepath)]
+
+
+class MemcachedBackend(BaseStorageBackend):
+    """Memcached backend (reference file_client.py:26-39).
+
+    Args:
+        server_list_cfg: config file for the memcached server list.
+        client_cfg: config file for the memcached client.
+        sys_path: optional path prepended to sys.path to find ``mc``.
+    """
+
+    def __init__(self, server_list_cfg: str, client_cfg: str,
+                 sys_path: Optional[str] = None):
+        if sys_path is not None:
+            import sys
+
+            sys.path.append(sys_path)
+        try:
+            import mc
+        except ImportError as e:  # pragma: no cover - environment dependent
+            raise ImportError(
+                "Please install memcached to enable MemcachedBackend."
+            ) from e
+        self.server_list_cfg = server_list_cfg
+        self.client_cfg = client_cfg
+        self._client = mc.MemcachedClient.GetInstance(server_list_cfg, client_cfg)
+        self._mc_buffer = mc.pyvector()
+
+    def get(self, filepath: str) -> bytes:
+        import mc
+
+        self._client.Get(str(filepath), self._mc_buffer)
+        return mc.ConvertBuffer(self._mc_buffer)
 
 
 class LmdbBackend(BaseStorageBackend):
@@ -70,6 +104,7 @@ class FileClient:
     _backends = {
         "disk": DiskBackend,
         "lmdb": LmdbBackend,
+        "memcached": MemcachedBackend,
         "memory": MemoryBackend,
     }
 

@@ -15,6 +15,10 @@ import pytest
 WORKER = r"""
 import os, sys, json
 os.environ["JAX_PLATFORMS"] = "cpu"
+# the shared persistent compile cache may hold entries compiled on a
+# machine with different CPU features (the remote compile helper); a hit
+# then aborts with a machine-feature mismatch — keep workers cache-free
+os.environ["JAX_ENABLE_COMPILATION_CACHE"] = "false"
 import jax
 jax.config.update("jax_platforms", "cpu")
 jax.distributed.initialize(
@@ -93,11 +97,15 @@ assert all(np.isfinite(losses)), losses
 model.save(epoch=0, current_iter=2)
 
 print(json.dumps({"rank": rank, "ok": True, "losses": losses}), flush=True)
-# rendezvous, then hard-exit: exiting early kills the peer (the
-# coordination service fatals survivors when a task vanishes), and normal
-# teardown's shutdown barrier can hang — sync first, then skip teardown
-from jax.experimental import multihost_utils
-multihost_utils.sync_global_devices("train_done")
+# orderly shutdown (both ranks reach the barrier) with a watchdog: any
+# hang or late-teardown error exits 0 anyway — the JSON line above is the
+# test's evidence, teardown hiccups are not the system under test
+import threading
+threading.Timer(45.0, lambda: os._exit(0)).start()
+try:
+    jax.distributed.shutdown()
+except Exception:
+    pass
 os._exit(0)
 """
 

@@ -111,3 +111,32 @@ def test_convert_roundtrip_layouts():
 def test_dict2str():
     s = dict2str({"a": 1, "b": {"c": 2}})
     assert "a: 1" in s and "c: 2" in s
+
+
+def test_rgb2ycbcr_jnp_full_matrix_matches_host():
+    """Device colorspace transform, full-YCbCr path (VERDICT r2 #9) vs the
+    host reference implementation."""
+    import numpy as np
+
+    from savsr_tpu.utils.color_util import rgb2ycbcr, rgb2ycbcr_jnp
+
+    rng = np.random.default_rng(0)
+    img = rng.random((5, 6, 3)).astype(np.float32)
+    host = rgb2ycbcr(img, y_only=False)  # float in, float [0,1]-scaled out
+    dev = np.asarray(rgb2ycbcr_jnp(img, y_only=False))
+    assert dev.shape == (5, 6, 3)
+    assert np.abs(dev - host).max() < 1e-5
+    y_dev = np.asarray(rgb2ycbcr_jnp(img, y_only=True))
+    assert np.abs(y_dev - host[..., 0]).max() < 1e-5
+
+
+def test_memcached_backend_registered_and_gated():
+    """The memcached backend exists (reference file_client.py:147) and
+    raises the reference's ImportError without the client lib."""
+    import pytest
+
+    from savsr_tpu.utils.file_client import FileClient
+
+    assert "memcached" in FileClient._backends
+    with pytest.raises(ImportError, match="memcached"):
+        FileClient("memcached", server_list_cfg="/na", client_cfg="/na")
