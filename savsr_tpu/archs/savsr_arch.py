@@ -495,16 +495,25 @@ def _stau_fused(ctx, prefix, x, st_feat, offset, st_offset, routing, scale,
     rt = jnp.transpose(routing[0].astype(jnp.float32), (0, 2, 1))  # [H,n,W]
     planes = jnp.stack([fy_f, fx_f, fy_s, fx_s], axis=1)           # [H,4,W]
     pix = jnp.concatenate([planes, rt], axis=1)                    # [H,4+n,W]
-    # the kernel processes HR rows in pairs: pad H to even, fold pairs
-    H2 = H + H % 2
-    pix = jnp.pad(pix, ((0, H2 - H), (0, 8 - pix.shape[1]), (0, wp - W)))
-    pix = pix.reshape(H2 // 2, 2, 8, wp)
+    # the kernel processes GROUPS of G HR rows per step (one union LR band
+    # per group): pad H up to a multiple of G
+    from ..ops.pallas.stau_kernel import GROUP as _G
+
+    HG = _round_up(H, _G)
+    pix = jnp.pad(pix, ((0, HG - H), (0, 8 - pix.shape[1]), (0, wp - W)))
+    pix = pix.reshape(HG // _G, _G, 8, wp)
 
     h_valid = h if bucket is None else bucket["h_lr"]
+    from ..ops.pallas.stau_kernel import TAPS as _T
+
+    taps = min(_T, band)
 
     def j0_of(fy):
+        # window start for the kernel's static taps-row unroll: clipping to
+        # h_valid - taps keeps bottom-edge rows' active band inside the
+        # window (rows outside [j0, j0+taps) carry wy = 0 exactly)
         m = jnp.floor(jnp.min(fy, axis=1)).astype(jnp.int32)
-        j0 = jnp.clip(m, 0, h_valid - band)
+        j0 = jnp.clip(m, 0, max(h_valid - taps, 0))
         # in-band rows that can carry weight: [j0, min(floor(max fy)+1, h-1)]
         top = jnp.minimum(
             jnp.floor(jnp.max(fy, axis=1)).astype(jnp.int32) + 1, h_valid - 1
@@ -515,13 +524,28 @@ def _stau_fused(ctx, prefix, x, st_feat, offset, st_offset, routing, scale,
     j0f, jcf = j0_of(fy_f)
     j0s, jcs = j0_of(fy_s)
     j0 = jnp.stack([j0f, j0s, jcf, jcs], axis=1)  # [H, 4]
-    if H2 != H:
-        # padded HR pair-row: j0=0 (not 1 — j0=1 with h == band would DMA
-        # one LR row past the end of x_rows in HBM), jc=1; the pad row's
-        # output is cropped anyway.
+    if HG != H:
+        # padded HR rows replicate the LAST REAL row's band (their output
+        # is cropped; j0=0 would drag the last group's union band to the
+        # top of the image and overflow the RG window)
         j0 = jnp.concatenate(
-            [j0, jnp.array([[0, 0, 1, 1]], jnp.int32)], axis=0
+            [j0] + [j0[-1:].at[:, 2:].set(1)] * (HG - H), axis=0
         )
+    # per-group union band start (the DMA'd window is [g0, g0+RG)); each
+    # row's j0 is then clamped into the window — a no-op unless the band
+    # starts spread more than G rows within one group, which needs
+    # offset-head outputs jumping > G LR rows between adjacent HR rows
+    # (the same magnitude assumption the per-row band R itself makes)
+    RG = min(h, band + _G)
+    j0g = j0.reshape(HG // _G, _G, 4)
+    # clip bound is the ARRAY height h (the DMA window must stay in x_rows;
+    # under bucketed eval h_valid < h and rows j0 <= h_valid-band always
+    # land inside [g0, g0+RG) for either clip branch)
+    g0 = jnp.clip(jnp.min(j0g[:, :, :2], axis=1), 0, h - RG)  # [ng, 2]
+    g0r = jnp.repeat(g0, _G, axis=0)  # [HG, 2]
+    j0 = jnp.concatenate(
+        [jnp.clip(j0[:, :2], g0r, g0r + (RG - taps)), j0[:, 2:]], axis=1
+    )
 
     ce = c // 8
     wc = ctx[f"{prefix}weight_compress"].astype(dtype).reshape(-1, c)
@@ -530,7 +554,7 @@ def _stau_fused(ctx, prefix, x, st_feat, offset, st_offset, routing, scale,
     bias = ctx[f"{prefix}fusion.bias"].astype(jnp.float32).reshape(-1, 1)
 
     out = stau_upsample_fused(
-        rows(x), sta_rows, pix, j0, wc, we, wfus, bias,
+        rows(x), sta_rows, pix, j0, g0, wc, we, wfus, bias,
         R=band, h=h, w=w, W_hr=W,
     )[:, :H]  # [B, H, C, Wp]
     if return_rows:

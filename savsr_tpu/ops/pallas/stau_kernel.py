@@ -20,13 +20,16 @@ embedding, never on the video content — and shipped in via scalar
 prefetch. Band rows whose y-weights are identically zero skip their
 matmul (trained offsets are subpixel, so ~2 of R fire per row).
 
+Grid: (B, H/G) — a GROUP of G HR rows per step. Consecutive HR rows'
+LR bands overlap almost entirely (the band start advances by 1/sh < 1
+row per HR row), so each step DMAs ONE union band of RG = R + G rows per
+feature tensor instead of per-row bands — at G=8/x4 that's ~6x less HBM
+traffic and 8x fewer DMA issues than the row-pair version this replaces
+(measured 14.3 ms of the 50 ms window as pairs; overheads, not FLOPs,
+dominated). Each row's in-band offset is its j0 minus the group start.
 The expert mixing (reference builds per-pixel [C/8,C] matrices;
-savsr_arch.py:353-359) and the 1x1 fusion conv are small per-row matmuls
-on data already resident in VMEM, so they ride along for free.
-
-Grid: (B, H) — one HR output row per step. LR bands are manually
-double-buffered across grid steps (persistent scratch; next row's DMA is
-issued before this row's compute). Layouts: LR features arrive row-major
+savsr_arch.py:353-359) and the 1x1 fusion conv run once per group at
+G-row width on VMEM-resident data. Layouts: LR features arrive row-major
 [B, h, C, Wl]; the output leaves as [B, H, Cout, Wp] (both lane-padded),
 converted by thin XLA transposes at the boundary.
 """
@@ -40,6 +43,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+GROUP = 8  # HR rows per grid step; callers pad H to a multiple
+TAPS = 3   # static band rows per sample (bilinear y-span, see _body)
+
 
 def _interpret() -> bool:
     return jax.default_backend() != "tpu"
@@ -49,136 +55,149 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _body(j0_ref, pix_ref, x_ref, st_ref, wc_ref, we_ref, wfus_ref, bias_ref,
-          o_ref, xband, sband, hatx, pair, sem, *, R, h, w, wl, wp, c, n_exp):
+def _body(j0_ref, g0_ref, pix_ref, x_ref, st_ref, wc_ref, we_ref, wfus_ref,
+          bias_ref, o_ref, xband, sband, hatx, group, sem, *, R, RG, G, h, w,
+          wl, wp, c, n_exp):
     b = pl.program_id(0)
-    r = pl.program_id(1)  # PAIR of HR rows (2r, 2r+1)
-    nh = pl.num_programs(1)
+    g = pl.program_id(1)  # group of G HR rows [g*G, (g+1)*G)
+    ng = pl.num_programs(1)
     dt = o_ref.dtype
 
-    def band_dma(slot, step, rr, src_ref, dst, j_col):
-        j0 = j0_ref[2 * step + rr, j_col]
+    def band_dma(slot, step, src_ref, dst, col):
+        g0 = g0_ref[step, col]
         return pltpu.make_async_copy(
-            src_ref.at[b, pl.ds(j0, R)], dst.at[slot, rr], sem.at[slot, rr, j_col]
+            src_ref.at[b, pl.ds(g0, RG)], dst.at[slot], sem.at[slot, col]
         )
 
-    def start_pair(slot, step):
-        for rr in range(2):
-            band_dma(slot, step, rr, x_ref, xband, 0).start()
-            band_dma(slot, step, rr, st_ref, sband, 1).start()
+    def start_group(slot, step):
+        band_dma(slot, step, x_ref, xband, 0).start()
+        band_dma(slot, step, st_ref, sband, 1).start()
 
-    # persistent double buffer across grid steps: warm up on the first
-    # pair, then issue pair r+1's band DMAs before computing pair r
-    @pl.when(r == 0)
+    # union bands double-buffered across grid steps
+    @pl.when(g == 0)
     def _warm():
-        start_pair(0, 0)
+        start_group(0, 0)
 
-    @pl.when(r + 1 < nh)
+    @pl.when(g + 1 < ng)
     def _prefetch():
-        start_pair((r + 1) % 2, r + 1)
+        start_group((g + 1) % 2, g + 1)
 
-    slot = r % 2
-    for rr in range(2):
-        band_dma(slot, r, rr, x_ref, xband, 0).wait()
-        band_dma(slot, r, rr, st_ref, sband, 1).wait()
+    slot = g % 2
+    band_dma(slot, g, x_ref, xband, 0).wait()
+    band_dma(slot, g, st_ref, sband, 1).wait()
 
     cl = jax.lax.broadcasted_iota(jnp.int32, (wl, wp), 0).astype(jnp.float32)
     col_ok = cl < float(w)
 
-    def sample(dst_slot_band, rr, gy_plane, gx_plane, j_col):
+    import os as _os
+
+    _nohat = _os.environ.get("SAVSR_STAU_NOHAT") == "1"  # timing probe only
+
+    def sample(band, rr, gy_plane, gx_plane, j_col, g0):
         gx = pix_ref[0, rr, gx_plane, :][None, :]  # [1, wp]
         gy = pix_ref[0, rr, gy_plane, :][None, :]
-        hatx[...] = jnp.where(
-            col_ok, jnp.maximum(1.0 - jnp.abs(gx - cl), 0.0), 0.0
-        )
+        if not _nohat:
+            hatx[...] = jnp.where(
+                col_ok, jnp.maximum(1.0 - jnp.abs(gx - cl), 0.0), 0.0
+            )
         hx = hatx[...].astype(dt)
-        j0 = j0_ref[2 * r + rr, j_col]
-        # dynamic trip count: the number of band rows whose y-weights can
-        # be nonzero (typically 2-3 of R; precomputed per HR row). A
-        # data-dependent fori bound lowers to a scalar while loop, so the
-        # unused rows' matmuls genuinely never execute (a lax.cond here
-        # became a select that ran both sides).
-        jc = j0_ref[2 * r + rr, 2 + j_col]
+        row = g * G + rr
+        j0 = j0_ref[row, j_col]
+        off = j0 - g0  # in-band start (>= 0 by the group-min construction)
+        # STATIC 3-tap unroll over the band rows that can carry weight:
+        # one HR row's bilinear y-span is [floor(min gy), floor(max gy)+1],
+        # <= 3 rows whenever the offset spread within a row is < ~2 LR px
+        # (the same magnitude assumption the per-row band R makes; rows
+        # outside the span contribute wy = 0 exactly). This replaces a
+        # data-dependent fori (scalar while loop) whose per-iteration
+        # control overhead dominated the sampler (measured: disabling the
+        # hat build moved the 14.3 ms STAU stage by only ~1 ms).
         acc = jnp.zeros((c, wp), jnp.float32)
-
-        def one(j, acc):
+        for j in range(min(3, R)):
             wy = jnp.maximum(1.0 - jnp.abs(gy - (j0 + j).astype(jnp.float32)), 0.0)
             m = jax.lax.dot_general(
-                dst_slot_band[slot, rr, j], hx,
+                band[slot, off + j], hx,
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            return acc + wy * m
+            acc = acc + wy * m
+        return acc
 
-        return jax.lax.fori_loop(0, jc, one, acc)
+    # all G rows' samples land in the group scratch; the expert/fusion
+    # matmuls then run over row PAIRS (2*wp-wide values — the full G-wide
+    # f32 intermediates would hold ~15 MB live and spill VMEM)
+    g0x = g0_ref[g, 0]
+    g0s = g0_ref[g, 1]
+    for rr in range(G):
+        group[0, :, pl.ds(rr * wp, wp)] = sample(xband, rr, 0, 1, 0, g0x).astype(dt)
+        group[1, :, pl.ds(rr * wp, wp)] = sample(sband, rr, 2, 3, 1, g0s).astype(dt)
 
-    # both rows' samples concatenated on lanes: the expert/fusion matmuls
-    # below then run once per pair at 2x width
-    for rr in range(2):
-        pair[0, :, pl.ds(rr * wp, wp)] = sample(xband, rr, 0, 1, 0).astype(dt)
-        pair[1, :, pl.ds(rr * wp, wp)] = sample(sband, rr, 2, 3, 1).astype(dt)
-    fea0 = pair[0]  # [C, 2wp] dt
-    sta = pair[1]
-
-    # expert mixing: zc_n = wc_n @ fea0; fc = sum_n r_n * zc_n;
-    # fea = sum_n r_n * (we_n @ fc) + fea0   (reference savsr_arch.py:353-359)
     ce = c // 8
-    zc = jax.lax.dot_general(
-        wc_ref[:], fea0, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # [n_exp*ce, 2wp]
-    rts = [
-        jnp.concatenate(
-            [pix_ref[0, 0, 4 + n, :][None, :], pix_ref[0, 1, 4 + n, :][None, :]],
-            axis=1,
-        )
-        for n in range(n_exp)
-    ]
-    fc = sum(rts[n] * zc[n * ce : (n + 1) * ce] for n in range(n_exp))
-    stack = jnp.concatenate([(rts[n] * fc) for n in range(n_exp)], axis=0)
-    ze = jax.lax.dot_general(
-        we_ref[:], stack.astype(dt),
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # [C, 2wp]
-    fea = ze + fea0.astype(jnp.float32)
+    for half in range(G // 2):
+        fea0 = group[0, :, pl.ds(half * 2 * wp, 2 * wp)]  # [C, 2wp] dt
+        sta = group[1, :, pl.ds(half * 2 * wp, 2 * wp)]
 
-    # fusion 1x1 over concat([sta_up, fea]) (order per reference :375)
-    cat = jnp.concatenate([sta, fea.astype(dt)], axis=0)
-    out = jax.lax.dot_general(
-        wfus_ref[:], cat, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) + bias_ref[:].astype(jnp.float32)
-    for rr in range(2):
-        o_ref[0, rr] = out[:, rr * wp : (rr + 1) * wp].astype(dt)
+        # expert mixing: zc_n = wc_n @ fea0; fc = sum_n r_n * zc_n;
+        # fea = sum_n r_n*(we_n @ fc) + fea0  (reference savsr_arch.py:353-359)
+        zc = jax.lax.dot_general(
+            wc_ref[:], fea0, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [n_exp*ce, 2wp]
+        rts = [
+            jnp.concatenate(
+                [pix_ref[0, 2 * half + d, 4 + n, :][None, :] for d in range(2)],
+                axis=1,
+            )
+            for n in range(n_exp)
+        ]
+        fc = sum(rts[n] * zc[n * ce : (n + 1) * ce] for n in range(n_exp))
+        stack = jnp.concatenate([(rts[n] * fc) for n in range(n_exp)], axis=0)
+        ze = jax.lax.dot_general(
+            we_ref[:], stack.astype(dt),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [C, 2wp]
+        fea = ze + fea0.astype(jnp.float32)
+
+        # fusion 1x1 over concat([sta_up, fea]) (order per reference :375)
+        cat = jnp.concatenate([sta, fea.astype(dt)], axis=0)
+        out = jax.lax.dot_general(
+            wfus_ref[:], cat, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + bias_ref[:].astype(jnp.float32)
+        for d in range(2):
+            o_ref[0, 2 * half + d] = out[:, d * wp : (d + 1) * wp].astype(dt)
 
 
 @functools.partial(
     jax.jit, static_argnames=("R", "h", "w", "W_hr")
 )
-def stau_upsample_fused(x_rows, st_rows, pix, j0, wc, we, wfus, bias, *,
+def stau_upsample_fused(x_rows, st_rows, pix, j0, g0, wc, we, wfus, bias, *,
                         R, h, w, W_hr):
     """x_rows/st_rows: [B, h, C, Wl] row-major LR features; pix:
-    [H, 8, Wp] f32 planes (gy_f, gx_f, gy_s, gx_s, r_0..r_3); j0: [H, 4]
-    int32 (band starts clipped to [0, h-R], then per-sample in-band row
-    counts <= R); wc: [n*C/8, C]; we:
+    [H/G, G, 8, Wp] f32 planes (gy_f, gx_f, gy_s, gx_s, r_0..r_3); j0:
+    [H, 4] int32 (band starts clipped to [0, h-R], then per-sample in-band
+    row counts <= R); g0: [H/G, 2] int32 group union-band starts (min of
+    the group's j0 per feature, clipped to [0, h-RG]); wc: [n*C/8, C]; we:
     [C, n*C/8]; wfus: [Cout, 2C]; bias: [Cout, 1].
     Returns [B, H, Cout, Wp]."""
     bsz, h_in, c, wl = x_rows.shape
     assert h_in == h
-    H2, _, _, wp = pix.shape  # pix: [H/2, 2, 8, Wp] row pairs
-    H = 2 * H2
+    ngroups, G, _, wp = pix.shape
+    assert G == GROUP
+    H = ngroups * G
     cout = wfus.shape[0]
     n_exp = wc.shape[0] // (c // 8)
+    RG = min(h, R + G)
 
     kernel = functools.partial(
-        _body, R=R, h=h, w=w, wl=wl, wp=wp, c=c, n_exp=n_exp
+        _body, R=R, RG=RG, G=G, h=h, w=w, wl=wl, wp=wp, c=c, n_exp=n_exp
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(bsz, H // 2),
+        num_scalar_prefetch=2,
+        grid=(bsz, ngroups),
         in_specs=[
-            pl.BlockSpec((1, 2, 8, wp), lambda b, r, *_: (r, 0, 0, 0),
+            pl.BlockSpec((1, G, 8, wp), lambda b, g, *_: (g, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
@@ -187,14 +206,14 @@ def stau_upsample_fused(x_rows, st_rows, pix, j0, wc, we, wfus, bias, *,
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 2, cout, wp), lambda b, r, *_: (b, r, 0, 0),
+        out_specs=pl.BlockSpec((1, G, cout, wp), lambda b, g, *_: (b, g, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, 2, R, c, wl), x_rows.dtype),
-            pltpu.VMEM((2, 2, R, c, wl), x_rows.dtype),
+            pltpu.VMEM((2, RG, c, wl), x_rows.dtype),
+            pltpu.VMEM((2, RG, c, wl), x_rows.dtype),
             pltpu.VMEM((wl, wp), jnp.float32),
-            pltpu.VMEM((2, c, 2 * wp), x_rows.dtype),
-            pltpu.SemaphoreType.DMA((2, 2, 2)),
+            pltpu.VMEM((2, c, G * wp), x_rows.dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),
         ],
     )
     return pl.pallas_call(
@@ -206,4 +225,4 @@ def stau_upsample_fused(x_rows, st_rows, pix, j0, wc, we, wfus, bias, *,
             if jnp.dtype(x_rows.dtype).itemsize > 2 else pltpu.CompilerParams()
         ),
         interpret=_interpret(),
-    )(j0, pix, x_rows, st_rows, wc, we, wfus, bias)
+    )(j0, g0, pix, x_rows, st_rows, wc, we, wfus, bias)
