@@ -513,7 +513,8 @@ def _stau_fused(ctx, prefix, x, st_feat, offset, st_offset, routing, scale,
         # h_valid - taps keeps bottom-edge rows' active band inside the
         # window (rows outside [j0, j0+taps) carry wy = 0 exactly)
         m = jnp.floor(jnp.min(fy, axis=1)).astype(jnp.int32)
-        j0 = jnp.clip(m, 0, max(h_valid - taps, 0))
+        # h_valid may be a traced operand (bucketed eval)
+        j0 = jnp.clip(m, 0, jnp.maximum(h_valid - taps, 0))
         # in-band rows that can carry weight: [j0, min(floor(max fy)+1, h-1)]
         top = jnp.minimum(
             jnp.floor(jnp.max(fy, axis=1)).astype(jnp.int32) + 1, h_valid - 1

@@ -58,6 +58,7 @@ def build_dataloader(dataset, dataset_opt: dict, num_gpu: int = 1, dist: bool = 
             collate_fn=collate_fn,
             num_workers=num_workers,
             seed=seed,
+            worker_mode=dataset_opt.get("worker_mode", "thread"),
         )
     elif phase in ("val", "test"):
         batch_size = dataset_opt.get("batch_size_per_gpu", 1)
@@ -67,5 +68,6 @@ def build_dataloader(dataset, dataset_opt: dict, num_gpu: int = 1, dist: bool = 
             shuffle=False,
             collate_fn=collate_fn,
             num_workers=dataset_opt.get("num_worker_per_gpu", 0),
+            worker_mode=dataset_opt.get("worker_mode", "thread"),
         )
     raise ValueError(f"Wrong dataset phase: {phase}.")

@@ -11,10 +11,21 @@ from __future__ import annotations
 
 import itertools
 from collections import deque
-from concurrent.futures import ThreadPoolExecutor
+from concurrent.futures import ProcessPoolExecutor, ThreadPoolExecutor
 from typing import Any, Callable, Dict, Iterator, List, Optional
 
 import numpy as np
+
+# fork-inherited state for the process-pool decode path: set in the parent
+# right before the pool forks; children read it via module globals (the
+# classic fork pattern — avoids pickling datasets holding open handles)
+_POOL_DATASET = None
+_POOL_COLLATE = None
+
+
+def _pool_load_batch(batch_indices: List[int]):
+    samples = [_POOL_DATASET[i] for i in batch_indices]
+    return _POOL_COLLATE(samples)
 
 
 class Dataset:
@@ -104,6 +115,7 @@ class DataLoader:
         num_workers: int = 0,
         prefetch_depth: int = 4,
         seed: Optional[int] = None,
+        worker_mode: str = "thread",
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -116,6 +128,12 @@ class DataLoader:
         cores = _os.cpu_count() or 1
         self.num_workers = min(num_workers, cores)
         self.prefetch_depth = max(prefetch_depth, 2 * max(self.num_workers, 1))
+        # "thread" (default): GIL-sharing decode threads — cv2/numpy release
+        # the GIL for the heavy parts, but the Python-level collate serializes.
+        # "process": forked decode processes sidestep the GIL entirely at the
+        # cost of one batch copy over the pipe (VERDICT r2 #8).
+        assert worker_mode in ("thread", "process"), worker_mode
+        self.worker_mode = worker_mode
         self._epoch = 0
         if sampler is not None:
             self.sampler = sampler
@@ -168,22 +186,36 @@ class DataLoader:
                 yield self._load_batch(bi)
             return
 
-        # num_workers threads each build whole batches; a bounded window of
+        # num_workers workers each build whole batches; a bounded window of
         # in-flight futures keeps delivery ordered and memory capped, and the
         # finally-block cancels cleanly if the consumer abandons iteration
-        # (cv2/numpy release the GIL so decode overlaps device compute)
+        # (threads: cv2/numpy release the GIL; processes: fork-inherited
+        # dataset, no GIL sharing at all)
         window = max(self.prefetch_depth, self.num_workers)
-        executor = ThreadPoolExecutor(max_workers=self.num_workers)
+        if self.worker_mode == "process":
+            import multiprocessing as mp
+
+            global _POOL_DATASET, _POOL_COLLATE
+            _POOL_DATASET = self.dataset
+            _POOL_COLLATE = self.collate_fn
+            executor = ProcessPoolExecutor(
+                max_workers=self.num_workers,
+                mp_context=mp.get_context("fork"),
+            )
+            load = _pool_load_batch
+        else:
+            executor = ThreadPoolExecutor(max_workers=self.num_workers)
+            load = self._load_batch
         futures: deque = deque()
         try:
             it = iter(batches)
             for bi in itertools.islice(it, window):
-                futures.append(executor.submit(self._load_batch, bi))
+                futures.append(executor.submit(load, bi))
             while futures:
                 batch = futures.popleft().result()  # raises worker failure
                 nxt = next(it, None)
                 if nxt is not None:
-                    futures.append(executor.submit(self._load_batch, nxt))
+                    futures.append(executor.submit(load, nxt))
                 yield batch
         finally:
             while futures:

@@ -244,5 +244,8 @@ class BaseModel:
 
     def reduce_loss_dict(self, loss_dict: Dict) -> Dict[str, float]:
         """Loss values under jit sharding are already globally reduced; this
-        just materializes floats for logging."""
-        return {k: float(v) for k, v in loss_dict.items()}
+        just materializes floats for logging — in ONE device_get (each
+        separate float() costs a full host round trip; measured ~23 ms each
+        through the axon relay, i.e. ~10% of a training step per scalar)."""
+        vals = jax.device_get(loss_dict)
+        return {k: float(v) for k, v in vals.items()}
