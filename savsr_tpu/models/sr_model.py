@@ -125,6 +125,13 @@ class SRModel(BaseModel):
             s = data["scale"]
             self.scale = (float(s[0]), float(s[1])) if isinstance(s, (tuple, list)) else (float(s), float(s))
 
+    @staticmethod
+    def _cast_like(updates: Dict, ref: Dict) -> Dict:
+        return {
+            k: v.astype(ref[k].dtype) if k in ref else v
+            for k, v in updates.items()
+        }
+
     def _loss_fn(self, trainable, stats, lq, gt, scale):
         params = {**trainable, **stats}
         # bf16 compute with f32 master params: the AMP analogue of the
@@ -175,9 +182,40 @@ class SRModel(BaseModel):
     )
     def _train_step(self, trainable, stats, ema, opt_state, lq, gt, lr, scale,
                     grad_factors=None):
-        (_, (losses, stats_updates, _)), grads = jax.value_and_grad(
-            self._loss_fn, has_aux=True
-        )(trainable, stats, lq, gt, scale)
+        accum = int(self.opt.get("train", {}).get("accum_steps", 1))
+        if accum > 1:
+            # gradient micro-batching: with remat off, a half-batch
+            # forward+backward fits on-chip and two serialized micro-steps
+            # beat one full-batch step that must recompute the forward
+            # (remat). Gradient = mean over micro-batch gradients (equal to
+            # the full-batch gradient up to BatchNorm batch-stat granularity:
+            # BN layers normalize per micro-batch, standard grad-accum
+            # semantics); BN running stats chain sequentially like
+            # consecutive forwards.
+            lq_m = lq.reshape((accum, lq.shape[0] // accum) + lq.shape[1:])
+            gt_m = gt.reshape((accum, gt.shape[0] // accum) + gt.shape[1:])
+
+            def micro(carry, xs):
+                stats_c, gsum = carry
+                mlq, mgt = xs
+                (_, (losses, su, _)), g = jax.value_and_grad(
+                    self._loss_fn, has_aux=True
+                )(trainable, stats_c, mlq, mgt, scale)
+                stats_c = {**stats_c, **self._cast_like(su, stats_c)}
+                gsum = jax.tree_util.tree_map(lambda a, b: a + b, gsum, g)
+                return (stats_c, gsum), losses
+
+            gzero = jax.tree_util.tree_map(jnp.zeros_like, trainable)
+            (stats_n, gsum), losses_seq = jax.lax.scan(
+                micro, (stats, gzero), (lq_m, gt_m)
+            )
+            grads = jax.tree_util.tree_map(lambda g: g / accum, gsum)
+            losses = jax.tree_util.tree_map(lambda x: x.mean(), losses_seq)
+            stats_updates = {k: stats_n[k] for k in stats_n}
+        else:
+            (_, (losses, stats_updates, _)), grads = jax.value_and_grad(
+                self._loss_fn, has_aux=True
+            )(trainable, stats, lq, gt, scale)
         if grad_factors is not None:
             # per-parameter gradient scaling (flow freeze / flow_lr_mul,
             # reference video_recurrent_model.py:23-65)
@@ -185,7 +223,10 @@ class SRModel(BaseModel):
         updates, opt_state = self.optimizer_g.update(grads, opt_state, trainable)
         updates = jax.tree_util.tree_map(lambda u: u * lr, updates)
         trainable = jax.tree_util.tree_map(lambda p, u: p + u, trainable, updates)
-        stats = {**stats, **stats_updates}
+        # cast BN running-stat updates back to the master dtype (under
+        # train.bf16 the forward computes them in bf16; the stored stats
+        # must stay f32 masters)
+        stats = {**stats, **self._cast_like(stats_updates, stats)}
         if ema is not None:
             decay = self.ema_decay
             ema = {

@@ -28,6 +28,7 @@ def main():
     s = float(os.environ.get("SAVSR_TB_SCALE", 2))
     bf16 = os.environ.get("SAVSR_TB_BF16", "1") == "1"
     remat = os.environ.get("SAVSR_TB_REMAT", "full")
+    accum = int(os.environ.get("SAVSR_TB_ACCUM", 1))
     width = int(os.environ.get("SAVSR_TB_WIDTH", 64))
     scale = (s, s)
 
@@ -46,7 +47,7 @@ def main():
         "manual_seed": 0, "scale": scale, "network_g": net,
         "path": {"pretrain_network_g": None, "strict_load_g": True},
         "train": {
-            "ema_decay": 0.999, "bf16": bf16,
+            "ema_decay": 0.999, "bf16": bf16, "accum_steps": accum,
             "optim_g": {"type": "Adam", "lr": 2e-4, "weight_decay": 0,
                         "betas": [0.9, 0.999]},
             "scheduler": {"type": "CosineAnnealingRestartLR",
@@ -83,7 +84,7 @@ def main():
         times.append(time.perf_counter() - t0)
     best = min(times)
     med = sorted(times)[len(times) // 2]
-    print(f"B={batch} {size}x{size} x{s} bf16={bf16} remat={remat} "
+    print(f"B={batch} {size}x{size} x{s} bf16={bf16} remat={remat} accum={accum} "
           f"width={width}: best {best * 1e3:.1f} ms/step "
           f"median {med * 1e3:.1f} ms -> {batch / best:.1f} samples/s/chip")
 
