@@ -169,15 +169,6 @@ def _body3(x_ref, w_ref, bias_ref, scale_ref, pre_ref, res_ref, mask_ref,
     def _prefetch():
         slab_dma((s + 1) % 2, s + 1).start()
 
-    if kpad > 3 * cin:
-        # pad rows must be zero, not stale VMEM (0 * nan = nan); scratch
-        # persists across the grid, so zero them once
-        @pl.when((bi == 0) & (s == 0))
-        def _zero():
-            imcol[pl.ds(3 * cin, kpad - 3 * cin), :] = jnp.zeros(
-                (kpad - 3 * cin, el2), imcol.dtype
-            )
-
     @pl.when((s >= 1) & (s <= ns))
     def _compute():
         slot = s % 2
@@ -185,21 +176,28 @@ def _body3(x_ref, w_ref, bias_ref, scale_ref, pre_ref, res_ref, mask_ref,
         for dx in range(3):
             imcol[pl.ds(dx * cin, cin), :] = xslab[slot, :, pl.ds(127 + dx, el2)]
 
-        # One matmul per dy on the dy-shifted imcol slice. (Measured dead
-        # end, for the record: stacking dy0+dy1 weights into a [2*Cout, K]
-        # full-128-row tile over the union column window [0, block+wp) —
-        # predicted ~29% fewer MXU column-streams under a "M=64 idles half
-        # the array" model — benched 19.45 vs 20.04 fps: the value
-        # slices/adds of the [128, block+wp] f32 accumulator cost more than
-        # the tile packing saves, i.e. these shapes are not M-bound.)
+        # One matmul per dy, contracting the LOGICAL K = 3*Cin — NOT the
+        # 128-padded kpad the operands carry. Measured (scripts/conv_probe.py
+        # k192): 48.1 vs 53.1 us/conv at Cin=64 — the MXU streams 1.5
+        # K-chunks for K=192 instead of 2 full passes for an explicit 256,
+        # and the kpad zero-fill step disappears. (Other measured dead ends,
+        # for the record: stacking dy0+dy1 weights into a [2*Cout, K]
+        # full-128-row tile — accumulator slices/adds cost more than the
+        # tile packing saves; a static-double-buffer "pingpong" that
+        # interleaves the next slab's im2col build with this step's dots —
+        # 65 vs 53 us, Mosaic does not overlap the VPU copies with the MXU
+        # stream and the extra buffer hurts.)
+        kdot = 3 * cin
         a = jax.lax.dot_general(
-            w_ref[pl.ds(0, cout), :], imcol[:, pl.ds(0, block)],
+            w_ref[pl.ds(0, cout), pl.ds(0, kdot)],
+            imcol[pl.ds(0, kdot), pl.ds(0, block)],
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         for dy in (1, 2):
             a += jax.lax.dot_general(
-                w_ref[pl.ds(dy * cout, cout), :], imcol[:, pl.ds(dy * wp, block)],
+                w_ref[pl.ds(dy * cout, cout), pl.ds(0, kdot)],
+                imcol[pl.ds(0, kdot), pl.ds(dy * wp, block)],
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
@@ -351,7 +349,7 @@ def conv3x3_chw(x, w3, bias, out_scale, pre_add, residual, *, h, w,
         out_specs=pl.BlockSpec((1, cout, block), lambda bi, s: (bi, 0, s),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((kpad, (th + 2) * wp), x.dtype),
+            pltpu.VMEM((3 * cin, (th + 2) * wp), x.dtype),
             pltpu.VMEM((2, cin, (th + 2) * wp + 256), x.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],

@@ -91,7 +91,11 @@ def _body(j0_ref, g0_ref, pix_ref, x_ref, st_ref, wc_ref, we_ref, wfus_ref,
 
     import os as _os
 
-    _nohat = _os.environ.get("SAVSR_STAU_NOHAT") == "1"  # timing probe only
+    # timing probes (scripts/stau_probe.py) — wrong math, never set in
+    # production; read at trace time, so probes jax.clear_caches() between
+    _nohat = _os.environ.get("SAVSR_STAU_NOHAT") == "1"
+    _taps_env = int(_os.environ.get("SAVSR_STAU_TAPS", "0"))
+    _noexpert = _os.environ.get("SAVSR_STAU_NOEXPERT") == "1"
 
     def sample(band, rr, gy_plane, gx_plane, j_col, g0):
         gx = pix_ref[0, rr, gx_plane, :][None, :]  # [1, wp]
@@ -113,7 +117,7 @@ def _body(j0_ref, g0_ref, pix_ref, x_ref, st_ref, wc_ref, we_ref, wfus_ref,
         # control overhead dominated the sampler (measured: disabling the
         # hat build moved the 14.3 ms STAU stage by only ~1 ms).
         acc = jnp.zeros((c, wp), jnp.float32)
-        for j in range(min(3, R)):
+        for j in range(min(_taps_env or 3, R)):
             wy = jnp.maximum(1.0 - jnp.abs(gy - (j0 + j).astype(jnp.float32)), 0.0)
             m = jax.lax.dot_general(
                 band[slot, off + j], hx,
@@ -136,6 +140,10 @@ def _body(j0_ref, g0_ref, pix_ref, x_ref, st_ref, wc_ref, we_ref, wfus_ref,
     for half in range(G // 2):
         fea0 = group[0, :, pl.ds(half * 2 * wp, 2 * wp)]  # [C, 2wp] dt
         sta = group[1, :, pl.ds(half * 2 * wp, 2 * wp)]
+        if _noexpert:  # timing probe: skip experts + fusion
+            for d in range(2):
+                o_ref[0, 2 * half + d] = fea0[:, d * wp : (d + 1) * wp]
+            continue
 
         # expert mixing: zc_n = wc_n @ fea0; fc = sum_n r_n * zc_n;
         # fea = sum_n r_n*(we_n @ fc) + fea0  (reference savsr_arch.py:353-359)
