@@ -51,6 +51,13 @@ class Ctx:
     # comes from this dict instead of static shapes — one compiled program
     # serves every (clip shape, scale) within the bucket
     bucket: Optional[Dict[str, jnp.ndarray]] = None
+    # precomputed frame-invariant STAU coordinate-head outputs
+    # (savsr_arch._stau_head): the head depends only on (params, h, w,
+    # scale), never on video content, yet costs ~10 ms/frame at 720p when
+    # recomputed inline (three Cout<=4 1x1 convs at HR resolution lower to
+    # pathologically lane-wasteful fusions). Eval-only — training needs
+    # gradients through the head, so it always computes inline.
+    stau_statics: Optional[Dict[str, jnp.ndarray]] = None
 
     @property
     def train_engines(self) -> bool:

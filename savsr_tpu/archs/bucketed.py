@@ -229,21 +229,23 @@ def pad_clip_to_bucket(x: np.ndarray, lr_bucket: Tuple[int, int]) -> np.ndarray:
 
 
 def savsr_apply_bucketed(params, x: jnp.ndarray, ops: Operands,
-                         cfg: SAVSRConfig) -> jnp.ndarray:
+                         cfg: SAVSRConfig, stau_statics=None) -> jnp.ndarray:
     """SAVSR forward on a bucketed canvas (CHW engine, eval only).
 
     x: [B, T, hb, wb, C] canvas from ``pad_clip_to_bucket``. Returns the HR
     bucket canvas [B, Hb, Wb, C]; the caller crops [:, :H, :W] host-side.
+    ``stau_statics``: optional precomputed coordinate-head outputs for this
+    operand set (SAVSR.stau_statics with bucket=ops).
     """
     with jax.default_matmul_precision(cfg.matmul_precision):
-        return _apply_bucketed_inner(params, x, ops, cfg)
+        return _apply_bucketed_inner(params, x, ops, cfg, stau_statics)
 
 
-def _apply_bucketed_inner(params, x, ops, cfg):
+def _apply_bucketed_inner(params, x, ops, cfg, stau_statics=None):
     from .chw_engine import trunk_apply_chw, window_l1_apply_chw
 
     ctx = Ctx(params, train=False, engines="eval", conv_engine="chw",
-              bucket=ops)
+              bucket=ops, stau_statics=stau_statics)
     b, t, hb, wb, _ = x.shape
     dummy_scale = (1.0, 1.0)  # every scale-dependent value rides in ops
 

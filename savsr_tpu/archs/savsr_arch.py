@@ -461,35 +461,16 @@ def _stau_sta_rows(ctx, prefix, x, st_feat, st_ksize, wl):
     return out[:, :h]
 
 
-def _stau_fused(ctx, prefix, x, st_feat, offset, st_offset, routing, scale,
-                band=8, st_ksize=5, return_rows=False):
-    """Dispatch STAU sampling + experts + fusion to the fused Pallas kernel
-    (ops/pallas/stau_kernel.py); the STA filtering chain runs in
-    ops/pallas/sta_kernel.py in the same row layout."""
+def _stau_sampler_operands(offset, st_offset, routing, scale, h, w, H, W,
+                           wp, band, bucket=None):
+    """Derive the fused sampler's scalar-prefetch operands (pix planes,
+    per-row band starts j0, per-group union band starts g0) from the
+    coordinate-head outputs. Frame-invariant (the head depends only on
+    shape/scale) — precomputable via SAVSR.stau_statics."""
     from ..ops.pallas.chw_conv import _round_up
-    from ..ops.pallas.stau_kernel import stau_upsample_fused
+    from ..ops.pallas.stau_kernel import GROUP as _G
+    from ..ops.pallas.stau_kernel import TAPS as _T
 
-    b, h, w, c = x.shape
-    bucket = ctx.bucket
-    if bucket is not None:
-        H, W = bucket["base_grid"].shape[:2]
-    else:
-        H, W = get_hw(h, w, scale)
-    wl = _round_up(w, 128)
-    wp = _round_up(W, 128)
-    band = min(band, h)
-    dtype = x.dtype
-
-    def rows(t):  # [B,h,w,C] -> [B,h,C,Wl]
-        t = jnp.transpose(t, (0, 1, 3, 2))
-        return jnp.pad(t, ((0, 0), (0, 0), (0, 0), (0, wl - w)))
-
-    sta_rows = _stau_sta_rows(ctx, prefix, x, st_feat, st_ksize, wl)
-
-    if bucket is not None:
-        # zero beyond the pre-pad_spatial crop: the hat sums then reproduce
-        # the reference's zeros padding at the TRUE image border
-        x = x * bucket["m2d0"].astype(dtype)
     fy_f, fx_f = _stau_pixel_coords(offset, scale, h, w, bucket=bucket)
     fy_s, fx_s = _stau_pixel_coords(st_offset, scale, h, w, bucket=bucket)
     rt = jnp.transpose(routing[0].astype(jnp.float32), (0, 2, 1))  # [H,n,W]
@@ -497,15 +478,11 @@ def _stau_fused(ctx, prefix, x, st_feat, offset, st_offset, routing, scale,
     pix = jnp.concatenate([planes, rt], axis=1)                    # [H,4+n,W]
     # the kernel processes GROUPS of G HR rows per step (one union LR band
     # per group): pad H up to a multiple of G
-    from ..ops.pallas.stau_kernel import GROUP as _G
-
     HG = _round_up(H, _G)
     pix = jnp.pad(pix, ((0, HG - H), (0, 8 - pix.shape[1]), (0, wp - W)))
     pix = pix.reshape(HG // _G, _G, 8, wp)
 
     h_valid = h if bucket is None else bucket["h_lr"]
-    from ..ops.pallas.stau_kernel import TAPS as _T
-
     taps = min(_T, band)
 
     def j0_of(fy):
@@ -547,6 +524,46 @@ def _stau_fused(ctx, prefix, x, st_feat, offset, st_offset, routing, scale,
     j0 = jnp.concatenate(
         [jnp.clip(j0[:, :2], g0r, g0r + (RG - taps)), j0[:, 2:]], axis=1
     )
+    return pix, j0, g0
+
+
+def _stau_fused(ctx, prefix, x, st_feat, offset, st_offset, routing, scale,
+                band=8, st_ksize=5, return_rows=False):
+    """Dispatch STAU sampling + experts + fusion to the fused Pallas kernel
+    (ops/pallas/stau_kernel.py); the STA filtering chain runs in
+    ops/pallas/sta_kernel.py in the same row layout."""
+    from ..ops.pallas.chw_conv import _round_up
+    from ..ops.pallas.stau_kernel import stau_upsample_fused
+
+    b, h, w, c = x.shape
+    bucket = ctx.bucket
+    if bucket is not None:
+        H, W = bucket["base_grid"].shape[:2]
+    else:
+        H, W = get_hw(h, w, scale)
+    wl = _round_up(w, 128)
+    wp = _round_up(W, 128)
+    band = min(band, h)
+    dtype = x.dtype
+
+    def rows(t):  # [B,h,w,C] -> [B,h,C,Wl]
+        t = jnp.transpose(t, (0, 1, 3, 2))
+        return jnp.pad(t, ((0, 0), (0, 0), (0, 0), (0, wl - w)))
+
+    sta_rows = _stau_sta_rows(ctx, prefix, x, st_feat, st_ksize, wl)
+
+    if bucket is not None:
+        # zero beyond the pre-pad_spatial crop: the hat sums then reproduce
+        # the reference's zeros padding at the TRUE image border
+        x = x * bucket["m2d0"].astype(dtype)
+    st = ctx.stau_statics if not ctx.train else None
+    if st is not None and "pix" in st:
+        pix, j0, g0 = st["pix"], st["j0"], st["g0"]
+    else:
+        pix, j0, g0 = _stau_sampler_operands(
+            offset, st_offset, routing, scale, h, w, H, W, wp, band,
+            bucket=bucket,
+        )
 
     ce = c // 8
     wc = ctx[f"{prefix}weight_compress"].astype(dtype).reshape(-1, c)
@@ -633,6 +650,24 @@ def tail_fused_apply(ctx: Ctx, sr_rows, x_center, h0: int, w0: int,
     return jnp.transpose(out, (0, 1, 3, 2))[:, :, :W, :3]
 
 
+def _stau_head(ctx: Ctx, prefix: str, h: int, w: int, scale: Scale, dtype):
+    """STAU coordinate head: static HR coordinate embedding -> offsets /
+    expert routing (reference savsr_arch.py:326-364). Depends only on
+    (params, h, w, scale) — NEVER on video content — so eval callers can
+    compute it once per shape/scale and pass it via Ctx.stau_statics
+    (profiled at ~10 ms/frame at 720p when recomputed inline)."""
+    if ctx.bucket is not None:
+        inp = ctx.bucket["coord_input"].astype(dtype)
+    else:
+        inp = jnp.asarray(_stau_coordinate_input(h, w, scale), dtype=dtype)
+    emb = jax.nn.relu(conv2d(ctx, f"{prefix}body.0", inp))
+    emb = jax.nn.relu(conv2d(ctx, f"{prefix}body.2", emb))
+    offset = conv2d(ctx, f"{prefix}offset", emb)          # [1,H,W,2]
+    st_offset = conv2d(ctx, f"{prefix}st_offset", emb)    # [1,H,W,2]
+    routing = sigmoid(conv2d(ctx, f"{prefix}routing.0", emb))  # [1,H,W,n]
+    return {"offset": offset, "st_offset": st_offset, "routing": routing}
+
+
 def stau_apply(
     ctx: Ctx, prefix: str, x: jnp.ndarray, scale: Scale, st_feat: jnp.ndarray,
     channels: int, num_experts: int = 4, st_ksize: int = 5,
@@ -649,16 +684,20 @@ def stau_apply(
         kernel_warp = leaky_relu(conv2d(ctx, f"{prefix}kernel_conv.0", st_feat), 0.1)
         sta_feat = sta_conv(x, kernel_warp, st_ksize)
 
-    # coordinate embedding -> routing / offsets (batch-size-1, broadcast)
-    if ctx.bucket is not None:
-        inp = ctx.bucket["coord_input"].astype(x.dtype)
+    # coordinate embedding -> routing / offsets (batch-size-1, broadcast).
+    # Frame-invariant: precomputed once per (shape, scale) when the caller
+    # supplies ctx.stau_statics (eval only — training differentiates
+    # through the head, savsr_arch.py reference :326-364)
+    st = ctx.stau_statics if not ctx.train else None
+    if st is not None:
+        offset = st["offset"].astype(x.dtype)
+        st_offset = st["st_offset"].astype(x.dtype)
+        routing = st["routing"].astype(x.dtype)
     else:
-        inp = jnp.asarray(_stau_coordinate_input(h, w, scale), dtype=x.dtype)
-    emb = jax.nn.relu(conv2d(ctx, f"{prefix}body.0", inp))
-    emb = jax.nn.relu(conv2d(ctx, f"{prefix}body.2", emb))
-    offset = conv2d(ctx, f"{prefix}offset", emb)          # [1,H,W,2]
-    st_offset = conv2d(ctx, f"{prefix}st_offset", emb)    # [1,H,W,2]
-    routing = sigmoid(conv2d(ctx, f"{prefix}routing.0", emb))  # [1,H,W,n]
+        head = _stau_head(ctx, prefix, h, w, scale, x.dtype)
+        offset, st_offset, routing = (
+            head["offset"], head["st_offset"], head["routing"]
+        )
 
     if use_chw:
         return _stau_fused(ctx, prefix, x, st_feat, offset, st_offset,
@@ -959,8 +998,41 @@ class SAVSR:
     def init(self, key) -> Params:
         return savsr_init(key, self.cfg)
 
-    def apply(self, params: Params, x: jnp.ndarray, scale, train: bool = False):
-        return savsr_apply(params, x, normalize_scale(scale), self.cfg, train=train)
+    def apply(self, params: Params, x: jnp.ndarray, scale, train: bool = False,
+              stau_statics=None):
+        return savsr_apply(params, x, normalize_scale(scale), self.cfg,
+                           train=train, stau_statics=stau_statics)
+
+    def stau_statics(self, params: Params, lq_hw, scale, dtype=jnp.float32,
+                     bucket=None):
+        """Frame-invariant STAU coordinate-head outputs for (lq shape,
+        scale) — compute ONCE per shape/scale in eval/serving and pass to
+        ``apply(..., stau_statics=...)``; saves ~10 ms/frame at 720p
+        (see _stau_head). ``dtype`` must match the forward's feature dtype
+        (bf16 for the serving config) for exact equality with the inline
+        path. Jit-compatible (params/bucket traced; shapes static)."""
+        from ..ops.pallas.chw_conv import _round_up
+
+        h, w = int(lq_hw[0]), int(lq_hw[1])
+        scale = normalize_scale(scale)
+        ctx = Ctx(params, train=False, engines=self.cfg.engines,
+                  conv_engine=self.cfg.conv_engine, bucket=bucket)
+        with jax.default_matmul_precision(self.cfg.matmul_precision):
+            st = _stau_head(ctx, "upsample.", h, w, scale, dtype)
+            if self.cfg.conv_engine == "chw":
+                # also derive the fused sampler's operands (pix planes,
+                # band starts) — same frame-invariance, saves the per-frame
+                # plane assembly/reductions in _stau_fused
+                if bucket is not None:
+                    H, W = bucket["base_grid"].shape[:2]
+                else:
+                    H, W = get_hw(h, w, scale)
+                pix, j0, g0 = _stau_sampler_operands(
+                    st["offset"], st["st_offset"], st["routing"], scale,
+                    h, w, H, W, _round_up(W, 128), min(8, h), bucket=bucket,
+                )
+                st = {**st, "pix": pix, "j0": j0, "g0": g0}
+            return st
 
 
 def savsr_init(key, cfg: SAVSRConfig) -> Params:
@@ -997,14 +1069,18 @@ def pad_spatial(x: jnp.ndarray, multiple: int = 2) -> jnp.ndarray:
 
 
 def savsr_apply(
-    params: Params, x: jnp.ndarray, scale: Scale, cfg: SAVSRConfig, train: bool = False
+    params: Params, x: jnp.ndarray, scale: Scale, cfg: SAVSRConfig,
+    train: bool = False, stau_statics=None,
 ):
     """SAVSR forward: x [B, T, H, W, C] RGB in [0,1] -> [B, H*sh, W*sw, C].
 
     Returns (sr, stats_updates); stats_updates is empty in eval mode.
+    ``stau_statics``: optional precomputed coordinate-head outputs
+    (SAVSR.stau_statics) — eval-only fast path, ignored under train.
     """
     with jax.default_matmul_precision(cfg.matmul_precision):
-        return _savsr_apply_inner(params, x, scale, cfg, train)
+        return _savsr_apply_inner(params, x, scale, cfg, train,
+                                  stau_statics=stau_statics)
 
 
 def _ckpt_call(ctx: Ctx, fn, *args, remat, policy: str = "full"):
@@ -1036,10 +1112,12 @@ def _ckpt_call(ctx: Ctx, fn, *args, remat, policy: str = "full"):
 
 
 def _savsr_apply_inner(
-    params: Params, x: jnp.ndarray, scale: Scale, cfg: SAVSRConfig, train: bool = False
+    params: Params, x: jnp.ndarray, scale: Scale, cfg: SAVSRConfig,
+    train: bool = False, stau_statics=None,
 ):
     ctx = Ctx(params, train=train, engines=cfg.engines,
-              conv_engine=cfg.conv_engine)
+              conv_engine=cfg.conv_engine,
+              stau_statics=None if train else stau_statics)
     b, t, h_input, w_input, c = x.shape
     H, W = get_hw(h_input, w_input, scale)
     impl = cfg.osconv_impl

@@ -256,18 +256,49 @@ class SRModel(BaseModel):
     # inference / eval
     # ------------------------------------------------------------------ #
 
+    def _stau_statics_cached(self, params, hw, scale, dtype, bucket=None,
+                             bucket_key=None):
+        """One-entry host cache of the frame-invariant STAU coordinate-head
+        outputs (SAVSR.stau_statics): the head costs ~10 ms/frame at 720p
+        recomputed inline, but depends only on (params, shape, scale) —
+        eval iterates a clip's frames with both fixed, so each shape/scale
+        computes it once. Invalidated on params identity change (new
+        checkpoint / EMA swap)."""
+        if not hasattr(self.net_g, "stau_statics"):
+            return None
+        key = (hw, scale, jnp.dtype(dtype).name, bucket_key)
+        cached = getattr(self, "_stau_statics", None)
+        # identity (not id()) comparison on params: a new checkpoint / EMA
+        # swap / train step produces a new dict object -> recompute
+        if cached is None or cached[0] != key or cached[1] is not params:
+            if not hasattr(self, "_stau_statics_jit"):
+                self._stau_statics_jit = jax.jit(
+                    self.net_g.stau_statics,
+                    static_argnames=("lq_hw", "scale", "dtype"),
+                )
+            self._stau_statics = (key, params, self._stau_statics_jit(
+                params, lq_hw=hw, scale=scale, dtype=dtype, bucket=bucket
+            ))
+        return self._stau_statics[2]
+
     def _forward_eval(self, params, lq, scale):
         val_opt = self.opt.get("val") or {}
         if val_opt.get("bucket_eval") and hasattr(self.net_g, "cfg"):
             return self._forward_eval_bucketed(params, lq, scale, val_opt)
-        key = ("fwd",)
+        statics = self._stau_statics_cached(
+            params, (int(lq.shape[2]), int(lq.shape[3])), scale, lq.dtype
+        )
+        key = ("fwd", statics is not None)
         if key not in self._fwd_cache:
+            use_statics = statics is not None
+
             @functools.partial(jax.jit, static_argnames=("scale",))
-            def fwd(params, lq, scale):
-                out, _ = self.net_g.apply(params, lq, scale, train=False)
+            def fwd(params, lq, scale, statics):
+                kw = {"stau_statics": statics} if use_statics else {}
+                out, _ = self.net_g.apply(params, lq, scale, train=False, **kw)
                 return out
             self._fwd_cache[key] = fwd
-        return self._fwd_cache[key](params, lq, scale)
+        return self._fwd_cache[key](params, lq, scale, statics)
 
     def _forward_eval_bucketed(self, params, lq, scale, val_opt):
         """Any-scale bucketed eval (archs/bucketed.py): every (clip shape,
@@ -307,13 +338,18 @@ class SRModel(BaseModel):
             self._bucket_ops = (ops_key, make_bucket_operands(h0, w0, scale, lrb, hrb))
         ops = self._bucket_ops[1]
 
+        statics = self._stau_statics_cached(
+            params, (h0, w0), scale, lq.dtype, bucket=ops, bucket_key=ops_key
+        )
         jit_key = ("bucket", lrb, hrb, lq.shape[0], lq.shape[1])
         if jit_key not in self._fwd_cache:
             self._fwd_cache[jit_key] = jax.jit(
-                lambda p, x, ops: savsr_apply_bucketed(p, x, ops, self.net_g.cfg)
+                lambda p, x, ops, st: savsr_apply_bucketed(
+                    p, x, ops, self.net_g.cfg, stau_statics=st
+                )
             )
         canvas = jnp.asarray(pad_clip_to_bucket(np.asarray(lq), lrb))
-        out = self._fwd_cache[jit_key](params, canvas, ops)
+        out = self._fwd_cache[jit_key](params, canvas, ops, statics)
         return out[:, :H, :W]
 
     def test(self) -> None:

@@ -76,8 +76,18 @@ def main():
     print(f"compile+first step: {time.perf_counter() - t0:.1f}s "
           f"loss={model.log_dict['l_total']:.5f}")
 
+    profile_dir = os.environ.get("SAVSR_TB_PROFILE")
+    if profile_dir:
+        import jax
+
+        with jax.profiler.trace(profile_dir):
+            for i in (2, 3):
+                model.update_learning_rate(i)
+                model.optimize_parameters(i)
+        print(f"trace written to {profile_dir}")
+
     times = []
-    for i in range(2, steps + 2):
+    for i in range(4, steps + 4):
         model.update_learning_rate(i)
         t0 = time.perf_counter()
         model.optimize_parameters(i)

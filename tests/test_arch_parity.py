@@ -129,6 +129,35 @@ def test_savsr_small_end_to_end_parity(scale):
     assert np.abs(y - ref).max() < 5e-6
 
 
+@pytest.mark.parametrize("conv_engine", ["xla", "chw"])
+def test_savsr_stau_statics_exact(conv_engine):
+    """Eval with precomputed frame-invariant STAU coordinate-head statics
+    (SAVSR.stau_statics) must equal the inline head EXACTLY — same ops,
+    same dtype, just hoisted out of the per-frame path."""
+    params = _load_params("savsr_small_state.npz")
+    io = np.load(os.path.join(GOLDEN_DIR, "savsr_small_forward.npz"))
+    x = jnp.asarray(io["x"].transpose(0, 1, 3, 4, 2))
+    scale = (2.0, 2.0)
+    model = SAVSR(**SMALL_CFG, conv_engine=conv_engine)
+
+    statics = jax.jit(
+        model.stau_statics, static_argnames=("lq_hw", "scale", "dtype")
+    )(params, lq_hw=(x.shape[2], x.shape[3]), scale=scale, dtype=x.dtype)
+    base_keys = {"offset", "st_offset", "routing"}
+    assert set(statics) == (
+        base_keys | ({"pix", "j0", "g0"} if conv_engine == "chw" else set())
+    )
+
+    @functools.partial(jax.jit, static_argnames=("scale", "use"))
+    def fwd(p, x, scale, st, use):
+        return model.apply(p, x, scale,
+                           stau_statics=st if use else None)[0]
+
+    y_inline = np.asarray(fwd(params, x, scale, statics, False))
+    y_statics = np.asarray(fwd(params, x, scale, statics, True))
+    assert np.array_equal(y_inline, y_statics)
+
+
 @pytest.mark.skipif(not os.environ.get("RUN_SLOW"), reason="slow: full-size model")
 @pytest.mark.parametrize("scale", [(2.0, 2.0), (4.0, 4.0), (1.5, 3.5), (3.05, 3.05)])
 def test_savsr_full_parity(scale):

@@ -59,6 +59,9 @@ def test_two_process_metric_reduction(tmp_path):
     script.write_text(WORKER)
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)  # one CPU device per process
+    # the shared persistent cache may hold entries compiled on a machine
+    # with different CPU features (remote compile helper); a hit aborts
+    env.pop("JAX_COMPILATION_CACHE_DIR", None)
     procs = [
         subprocess.Popen(
             [sys.executable, str(script), coord, str(i)],

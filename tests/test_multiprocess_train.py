@@ -96,16 +96,19 @@ assert all(np.isfinite(losses)), losses
 # rank-0-gated checkpoint write (reference base_model.py:211-256)
 model.save(epoch=0, current_iter=2)
 
-print(json.dumps({"rank": rank, "ok": True, "losses": losses}), flush=True)
-# orderly shutdown (both ranks reach the barrier) with a watchdog: any
-# hang or late-teardown error exits 0 anyway — the JSON line above is the
-# test's evidence, teardown hiccups are not the system under test
+# cross-process sync AFTER the checkpoint write, then exit WITHOUT
+# jax.distributed.shutdown(): the shutdown barrier is the flaky part on
+# loaded 1-core hosts (a rank that reaches it seconds late trips
+# DEADLINE_EXCEEDED and the coordination service kills the peer mid-save,
+# observed under pytest). The sync guarantees neither rank tears down the
+# process group while the other still runs; teardown itself is not the
+# system under test. A watchdog turns a sync deadlock into a visible
+# missing-ok failure instead of a 10-minute hang.
 import threading
-threading.Timer(45.0, lambda: os._exit(0)).start()
-try:
-    jax.distributed.shutdown()
-except Exception:
-    pass
+threading.Timer(120.0, lambda: os._exit(0)).start()
+from jax.experimental import multihost_utils
+multihost_utils.sync_global_devices("post_save")
+print(json.dumps({"rank": rank, "ok": True, "losses": losses}), flush=True)
 os._exit(0)
 """
 
@@ -126,6 +129,11 @@ def test_two_process_training_step(tmp_path):
     workdir = tmp_path / "exp"
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)  # one CPU device per process
+    # conftest exports the shared persistent compile cache; entries in it
+    # may have been compiled on a machine with different CPU features (the
+    # remote compile helper) and a hit then aborts the worker with a
+    # machine-feature-mismatch deserialization error — run cache-free
+    env.pop("JAX_COMPILATION_CACHE_DIR", None)
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
     procs = [
