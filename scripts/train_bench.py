@@ -38,6 +38,7 @@ def main():
         type="SAVSR", num_in_ch=3, num_feat=width, num_frame=7, slid_win=3,
         fusion_win=5, interval=0, w1_num_block=4, w2_num_block=2,
         n_resgroups=4, n_resblocks=8,
+        osconv_impl=os.environ.get("SAVSR_TB_OSCONV", "einsum"),
         remat_train=remat != "none",
         remat_policy=remat if remat in ("full", "dots") else "full",
     )

@@ -19,7 +19,7 @@ TINY_NET = dict(
 )
 
 
-def _train_opt(tmp_path, accum):
+def _train_opt(tmp_path, accum, accum_impl="scan"):
     return {
         "name": f"accum{accum}",
         "model_type": "ASVSRModel",
@@ -41,6 +41,7 @@ def _train_opt(tmp_path, accum):
             "ema_decay": 0.999,
             "bf16": False,
             "accum_steps": accum,
+            "accum_impl": accum_impl,
             # SGD, not Adam: Adam's step-1 update is ~sign(g), which
             # amplifies reassociation noise in near-zero grads into
             # O(lr) param deltas; SGD keeps the comparison a direct
@@ -71,10 +72,10 @@ def _batch(duplicated_halves):
     return {"lq": lq, "gt": gt, "scale": (2.0, 2.0)}
 
 
-def _one_step(tmp_path, accum, batch):
+def _one_step(tmp_path, accum, batch, accum_impl="scan"):
     from savsr_tpu.models import build_model
 
-    model = build_model(_train_opt(tmp_path, accum))
+    model = build_model(_train_opt(tmp_path, accum, accum_impl))
     model.feed_data(batch)
     model.optimize_parameters(1)
     return model
@@ -107,6 +108,25 @@ def test_accum_matches_full_batch_on_duplicated_halves(tmp_path):
     assert nbt_keys
     for k in nbt_keys:
         assert int(np.asarray(s2[k])) == 2 * int(np.asarray(s1[k])), k
+
+
+def test_accum_unroll_matches_scan(tmp_path):
+    """accum_impl: unroll (optimization_barrier-chained micro-steps) is the
+    same sequential sum as the lax.scan form — parameters after one step
+    must agree to reassociation noise on a general (non-duplicated) batch."""
+    batch = _batch(duplicated_halves=False)
+    m_scan = _one_step(tmp_path, 2, batch, accum_impl="scan")
+    m_unroll = _one_step(tmp_path, 2, batch, accum_impl="unroll")
+    assert abs(m_scan.log_dict["l_pix"] - m_unroll.log_dict["l_pix"]) < 1e-6
+
+    from savsr_tpu.models.base_model import split_params
+
+    t1, _ = split_params(m_scan.params)
+    t2, _ = split_params(m_unroll.params)
+    assert set(t1) == set(t2)
+    for k in t1:
+        a, b = np.asarray(t1[k]), np.asarray(t2[k])
+        assert np.abs(a - b).max() / (np.abs(a).max() + 1e-8) < 1e-4, k
 
 
 def test_accum_general_batch_close(tmp_path):
