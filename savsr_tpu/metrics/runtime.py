@@ -65,6 +65,37 @@ def vsr_runtime_test(
     return result
 
 
+def count_flops(
+    model,
+    params,
+    scale: Tuple[float, float] = (4.0, 4.0),
+    input_shape: Tuple[int, ...] = (1, 7, 180, 320, 3),
+    dtype=jnp.float32,
+) -> dict:
+    """Analytic FLOPs/bytes of the compiled forward via XLA cost analysis —
+    the counterpart of the reference's fvcore FLOPs hook
+    (lbasicsr/archs/savsr_arch.py:748-753, which switches get_HW to the
+    int path so fvcore can trace). Here the forward is already
+    shape-static, so the compiled executable reports the model cost
+    directly."""
+    x = jax.ShapeDtypeStruct(input_shape, dtype)
+
+    def fwd(params, x):
+        out, _ = model.apply(params, x, scale, train=False)
+        return out
+
+    compiled = jax.jit(fwd).lower(params, x).compile()
+    costs = compiled.cost_analysis()
+    if isinstance(costs, list):  # older jax returns one dict per device kind
+        costs = costs[0]
+    return {
+        "gflops": float(costs.get("flops", 0.0)) / 1e9,
+        "hbm_gbytes": float(costs.get("bytes accessed", 0.0)) / 1e9,
+        "input_shape": input_shape,
+        "scale": scale,
+    }
+
+
 def profile_trace(fn: Callable, trace_dir: str, *args) -> None:
     """Capture a jax.profiler trace of one call (TensorBoard-viewable) —
     the observability analogue of the reference's fvcore/timer hooks."""

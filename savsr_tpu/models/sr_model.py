@@ -282,7 +282,7 @@ class SRModel(BaseModel):
         self.params = {**trainable, **stats}
         if ema is not None:
             self.params_ema = ema
-        self.log_dict = self.reduce_loss_dict(losses)
+        self.defer_loss_fetch(losses)
 
     # ------------------------------------------------------------------ #
     # inference / eval

@@ -88,6 +88,30 @@ def osconv_apply_batchgroup(
     return jnp.transpose(y.reshape(ho, wo, b, co), (2, 0, 1, 3))
 
 
+def osconv_apply_taps(
+    x: jnp.ndarray, weight: jnp.ndarray, stride: int = 1, padding: int = 0
+) -> jnp.ndarray:
+    """Tap-decomposed batched matmul: y = sum over the kh*kw taps of
+    shift_t(x) @ W[:, t] — 9 MXU-shaped batched GEMMs (batch=B, M=H*W,
+    K=Cin, N=Cout) on shifted slices of the padded input, with NO
+    materialized patch tensor (the einsum engine's [B,H,W,9,Cin] copy is
+    a measured train-step hotspot) and no feature-grouped conv (XLA's
+    grouped path idles the MXU at these shapes)."""
+    b, kh, kw = weight.shape[0], weight.shape[1], weight.shape[2]
+    if padding:
+        x = jnp.pad(x, ((0, 0), (padding, padding), (padding, padding), (0, 0)))
+    h, w_ = x.shape[1], x.shape[2]
+    ho = (h - kh) // stride + 1
+    wo = (w_ - kw) // stride + 1
+    y = None
+    for dy in range(kh):
+        for dx in range(kw):
+            xs = x[:, dy : dy + ho * stride : stride, dx : dx + wo * stride : stride, :]
+            yt = jnp.einsum("bhwi,bio->bhwo", xs, weight[:, dy, dx])
+            y = yt if y is None else y + yt
+    return y
+
+
 def osconv_apply(
     x: jnp.ndarray,
     weight: jnp.ndarray,
@@ -101,6 +125,8 @@ def osconv_apply(
         return osconv_apply_grouped(x, weight, stride, padding)
     if impl == "batchgroup":
         return osconv_apply_batchgroup(x, weight, stride, padding)
+    if impl == "taps":
+        return osconv_apply_taps(x, weight, stride, padding)
     raise ValueError(f"unknown osconv impl {impl}")
     # the fully-fused Pallas path lives in ops/pallas/osconv_kernel.py and is
     # invoked from the arch (it consumes raw x + attentions, not the

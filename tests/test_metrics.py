@@ -54,3 +54,23 @@ def test_jnp_variants_close_to_numpy():
     ssim_dev = float(calculate_ssim_jnp(a, b, test_y_channel=True)[0])
     ssim_host = calculate_ssim(img, img2, crop_border=0, test_y_channel=True)
     assert abs(ssim_dev - ssim_host) < 1e-3
+
+
+def test_count_flops_reports_model_cost():
+    """XLA cost analysis of the compiled forward (the fvcore FLOPs-hook
+    counterpart, reference savsr_arch.py:748-753): positive, and scales
+    ~4x when the input area quadruples."""
+    import jax
+
+    from savsr_tpu.archs.savsr_arch import SAVSR
+    from savsr_tpu.metrics.runtime import count_flops
+
+    m = SAVSR(num_in_ch=3, num_feat=16, num_frame=7, slid_win=3, fusion_win=5,
+              interval=0, w1_num_block=2, w2_num_block=1, n_resgroups=1,
+              n_resblocks=2)
+    p = m.init(jax.random.PRNGKey(0))
+    small = count_flops(m, p, scale=(2.0, 2.0), input_shape=(1, 7, 16, 16, 3))
+    big = count_flops(m, p, scale=(2.0, 2.0), input_shape=(1, 7, 32, 32, 3))
+    assert small["gflops"] > 0
+    ratio = big["gflops"] / small["gflops"]
+    assert 3.0 < ratio < 5.5, ratio

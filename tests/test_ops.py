@@ -131,3 +131,18 @@ def test_osconv_patches():
     assert p.shape == (2, 4, 5, 9, 3)
     # center tap of patch == original pixel
     np.testing.assert_array_equal(np.asarray(p[:, :, :, 4, :]), np.asarray(x))
+
+
+@pytest.mark.parametrize("impl", ["grouped", "batchgroup", "taps"])
+@pytest.mark.parametrize("stride,padding", [(1, 1), (1, 0), (2, 1)])
+def test_osconv_engine_agreement(impl, stride, padding):
+    """Every OSConv execution engine computes the same per-sample conv."""
+    from savsr_tpu.ops.osconv import osconv_apply
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((3, 9, 11, 6), dtype=np.float32))
+    w = jnp.asarray(rng.standard_normal((3, 3, 3, 6, 5), dtype=np.float32))
+    ref = np.asarray(osconv_apply(x, w, stride, padding, impl="einsum"))
+    out = np.asarray(osconv_apply(x, w, stride, padding, impl=impl))
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
