@@ -138,3 +138,17 @@ def test_accum_general_batch_close(tmp_path):
     m2 = _one_step(tmp_path, 2, batch)
     assert np.isfinite(m2.log_dict["l_pix"])
     assert abs(m1.log_dict["l_pix"] - m2.log_dict["l_pix"]) < 0.05
+
+
+def test_log_dict_is_lazy(tmp_path):
+    """optimize_parameters must not synchronize on the loss: the device
+    round trip happens only when log_dict is read (message logger at
+    print_freq), letting steps pipeline back-to-back."""
+    batch = _batch(duplicated_halves=True)
+    model = _one_step(tmp_path, 1, batch)
+    # _one_step returned without anything reading log_dict: still deferred
+    assert model._log_cache is None
+    assert model._losses_dev is not None
+    vals = model.log_dict
+    assert np.isfinite(vals["l_pix"]) and isinstance(vals["l_pix"], float)
+    assert model._log_cache is vals  # materialized exactly once
