@@ -70,7 +70,6 @@ def group_name(name: str) -> str:
 
 _SIG_RE = re.compile(r"^%[\w.-]+ = ")
 _LAYOUT_RE = re.compile(r"\{[^}]*\}")
-_ID_RE = re.compile(r"%[\w-]+\.\d+")
 
 
 def hlo_sig(e: dict) -> str:
@@ -80,12 +79,8 @@ def hlo_sig(e: dict) -> str:
     ln = (e.get("args") or {}).get("long_name")
     if not ln:
         return group_name(e.get("name", "?"))
-    ln = _SIG_RE.sub("", ln)
-    ln = _LAYOUT_RE.sub("", ln)
-    # keep up to the op name + called computation hint
-    m = re.match(r"([^ ]+) ([\w.-]+)\(", ln)
-    head = f"{group_name(e.get('name', '?'))} -> {ln.split(' ')[0]}"
-    return head
+    ln = _LAYOUT_RE.sub("", _SIG_RE.sub("", ln))
+    return f"{group_name(e.get('name', '?'))} -> {ln.split(' ')[0]}"
 
 
 def main():
