@@ -221,13 +221,19 @@ class SRModel(BaseModel):
                 # optimization_barrier ties each micro-step's INPUTS to the
                 # previous step's grads: without it XLA interleaves the two
                 # fwd+bwd passes and doubles activation liveness (measured
-                # 17.55G > 15.75G HBM OOM at the shipped B=16 recipe).
+                # 17.55G > 15.75G HBM OOM at the shipped B=16 recipe with
+                # the einsum engine's patch tensors; 'unroll_nobarrier'
+                # re-allows the interleave for engines with small saved
+                # activations, e.g. taps).
+                barrier = (
+                    self.opt["train"].get("accum_impl") != "unroll_nobarrier"
+                )
                 stats_n = stats
                 gsum = None
                 losses_list = []
                 for m in range(accum):
                     mlq, mgt = lq_m[m], gt_m[m]
-                    if m > 0:
+                    if m > 0 and barrier:
                         mlq, mgt, gsum, stats_n = jax.lax.optimization_barrier(
                             (mlq, mgt, gsum, stats_n)
                         )

@@ -29,6 +29,7 @@ def main():
     bf16 = os.environ.get("SAVSR_TB_BF16", "1") == "1"
     remat = os.environ.get("SAVSR_TB_REMAT", "full")
     accum = int(os.environ.get("SAVSR_TB_ACCUM", 1))
+    accum_impl = os.environ.get("SAVSR_TB_ACCUM_IMPL", "scan")
     width = int(os.environ.get("SAVSR_TB_WIDTH", 64))
     scale = (s, s)
 
@@ -49,6 +50,7 @@ def main():
         "path": {"pretrain_network_g": None, "strict_load_g": True},
         "train": {
             "ema_decay": 0.999, "bf16": bf16, "accum_steps": accum,
+            "accum_impl": accum_impl,
             "optim_g": {"type": "Adam", "lr": 2e-4, "weight_decay": 0,
                         "betas": [0.9, 0.999]},
             "scheduler": {"type": "CosineAnnealingRestartLR",
