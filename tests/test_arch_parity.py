@@ -71,8 +71,9 @@ def test_osconv_impls_agree():
             return osconv_apply_module(Ctx(p), "", x, (2.7, 1.3), padding=1, impl=impl)
 
     y1 = np.asarray(fwd(params, x, "einsum"))
-    y2 = np.asarray(fwd(params, x, "grouped"))
-    assert np.abs(y1 - y2).max() < 1e-5
+    for impl in ("grouped", "batchgroup", "taps"):
+        y2 = np.asarray(fwd(params, x, impl))
+        assert np.abs(y1 - y2).max() < 1e-5, impl
 
 
 def test_stau_parity():
