@@ -894,8 +894,11 @@ def _sub_ctx(ctx: Ctx, params: Params) -> Ctx:
                conv_engine=ctx.conv_engine, bucket=ctx.bucket)
 
 
-def residual_group_apply(ctx: Ctx, prefix: str, x: jnp.ndarray, num_block: int) -> jnp.ndarray:
-    if not ctx.train:
+def residual_group_apply(ctx: Ctx, prefix: str, x: jnp.ndarray, num_block: int,
+                         roll: bool | None = None) -> jnp.ndarray:
+    if roll is None:
+        roll = not ctx.train
+    if roll:
         stacked = stack_prefix_params(
             ctx.params, [f"{prefix}residual_group.{i}." for i in range(num_block)]
         )
@@ -952,6 +955,15 @@ class SAVSRConfig:
     #             (jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
     remat_train: bool = True
     remat_policy: str = "full"
+    # training loop structure:
+    #   "unroll" — the alignment scan and trunk groups are unrolled in the
+    #              training forward (one HLO copy per iteration; simplest
+    #              remat segmentation; the measured round-3 default)
+    #   "scan"   — roll them into lax.scan like the eval path, threading the
+    #              chained BatchNorm running-stat updates through the scan
+    #              carry (identical math; ~n_iter x smaller training HLO ->
+    #              much faster cold compiles of the no-remat step)
+    train_loop: str = "unroll"
 
     @property
     def center(self) -> int:
@@ -1140,7 +1152,57 @@ def _savsr_apply_inner(
     # lax.scan (one program copy -> ~n_iter x smaller HLO / faster compile);
     # in training it stays unrolled so chained BatchNorm running-stat
     # updates thread through Ctx.
-    if train:
+    if train and cfg.train_loop == "scan":
+        # Rolled training alignment loop: the same sequential math as the
+        # unrolled branch below as ONE lax.scan program copy (~n_iter x
+        # smaller training HLO -> much faster cold compiles). The chained
+        # BatchNorm running-stat updates (batch_norm reads the previous
+        # update before writing its own) thread through the scan carry.
+        wins_b = jnp.stack(
+            [
+                x_backward[:, cfg.iter_win - 1 - 2 * half - idx : cfg.iter_win - idx]
+                for idx in range(n_iter)
+            ]
+        )
+        wins_f = jnp.stack(
+            [x_forward[:, idx : idx + cfg.slid_win] for idx in range(n_iter)]
+        )
+        stat_keys = sorted(
+            k for k in params
+            if k.startswith(("f2p_win.", "p2f_win."))
+            and k.rsplit(".", 1)[-1]
+            in ("running_mean", "running_var", "num_batches_tracked")
+        )
+        stats0 = {k: ctx.stats_updates.get(k, params[k]) for k in stat_keys}
+
+        def align_step(p, carry, xs):
+            hf, hpf, stats = carry
+            it_b, it_f = xs
+            inner = Ctx(p, train=True, stats_updates=dict(stats),
+                        engines=ctx.engines, conv_engine=ctx.conv_engine)
+            hf = window_l1_apply(inner, "f2p_win.", it_b, hf, scale,
+                                 cfg.w1_num_block, impl)
+            hpf = window_l1_apply(inner, "p2f_win.", it_f, hpf, scale,
+                                  cfg.w1_num_block, impl)
+            stats = {k: inner.stats_updates[k] for k in stat_keys}
+            return (hf, hpf, stats), (hf, hpf)
+
+        if cfg.remat_train:
+            kw = {}
+            if cfg.remat_policy == "dots":
+                kw["policy"] = jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+            align_step = jax.checkpoint(align_step, **kw)
+
+        (_, _, stats_fin), (hf_seq, hp_seq) = jax.lax.scan(
+            lambda carry, xs: align_step(params, carry, xs),
+            (ht_f2p, ht_p2f, stats0), (wins_b, wins_f),
+        )
+        ctx.stats_updates.update(stats_fin)
+        h_feat = [
+            jnp.concatenate([hf_seq[n_iter - 1 - i], hp_seq[i]], axis=-1)
+            for i in range(n_iter)
+        ]
+    elif train:
         h_f2p_list: List[jnp.ndarray] = [None] * n_iter
         h_p2f_list: List[jnp.ndarray] = []
 
@@ -1268,7 +1330,45 @@ def _savsr_apply_inner(
         share_source = h_feat
         gamma = ctx["gamma"].astype(x.dtype)
 
-        if train:
+        if train and cfg.train_loop == "scan":
+            # rolled trunk: scan over stacked per-group params (same math as
+            # the unrolled branch; ~n_resgroups x smaller HLO). Each group's
+            # OSAdapt BN stats are distinct keys, so they come out as stacked
+            # per-iteration scan outputs and scatter back below.
+            rg = stack_prefix_params(
+                params, [f"RG.{i}." for i in range(cfg.n_resgroups)]
+            )
+            ad = stack_prefix_params(
+                params, [f"adapt.{i}." for i in range(cfg.n_resgroups)]
+            )
+            ad_stat_keys = sorted(
+                s for s in ad
+                if s.rsplit(".", 1)[-1]
+                in ("running_mean", "running_var", "num_batches_tracked")
+            )
+
+            def group_step(leaves, h):
+                rg_p, ad_p = leaves
+                inner = Ctx({**rg_p, **ad_p}, train=True, engines=ctx.engines,
+                            conv_engine=ctx.conv_engine)
+                h = residual_group_apply(inner, "", h, cfg.n_resblocks, roll=True)
+                h = osadapt_apply(inner, "", h, scale, impl)
+                stats = {k: inner.stats_updates[k] for k in ad_stat_keys}
+                return h + gamma * share_source, stats
+
+            if cfg.remat_train:
+                kw = {}
+                if cfg.remat_policy == "dots":
+                    kw["policy"] = jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+                group_step = jax.checkpoint(group_step, **kw)
+
+            h_feat, stats_stack = jax.lax.scan(
+                lambda h, leaves: group_step(leaves, h), h_feat, (rg, ad)
+            )
+            for s in ad_stat_keys:
+                for i in range(cfg.n_resgroups):
+                    ctx.stats_updates[f"adapt.{i}.{s}"] = stats_stack[s][i]
+        elif train:
             def _group(c, h, name_rg, name_ad):
                 h = residual_group_apply(c, name_rg, h, cfg.n_resblocks)
                 return osadapt_apply(c, name_ad, h, scale, impl)

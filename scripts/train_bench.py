@@ -42,6 +42,7 @@ def main():
         osconv_impl=os.environ.get("SAVSR_TB_OSCONV", "einsum"),
         remat_train=remat != "none",
         remat_policy=remat if remat in ("full", "dots") else "full",
+        train_loop=os.environ.get("SAVSR_TB_LOOP", "unroll"),
     )
     opt = {
         "name": "train_bench", "model_type": "ASVSRModel", "num_gpu": 1,

@@ -98,3 +98,46 @@ def test_gradient_impl_agreement(impl):
         # reassociation noise)
         tol = max(1e-4 * np.abs(a).max(), 1e-9)
         assert np.abs(a - b).max() < tol, k
+
+
+@pytest.mark.parametrize("remat", [False, True])
+def test_train_loop_scan_equivalence(remat):
+    """train_loop='scan' (alignment loop + trunk groups rolled into lax.scan
+    with the chained BatchNorm running-stat updates threaded through the scan
+    carry) must reproduce the unrolled training forward: same loss, same
+    per-parameter gradients, same running-stat updates."""
+    state_path = os.path.join(GOLDEN_DIR, "savsr_small_state.npz")
+    if not os.path.isfile(state_path):
+        pytest.skip("state golden not generated")
+    params = {
+        k: jnp.asarray(v)
+        for k, v in convert_state_dict(dict(np.load(state_path))).items()
+    }
+    rng = np.random.default_rng(5)
+    lq = jnp.asarray(rng.random((2, 7, 12, 12, 3), dtype=np.float32))
+    gt = jnp.asarray(rng.random((2, 24, 24, 3), dtype=np.float32))
+    trainable, stats = split_params(params)
+
+    def run(loop):
+        model = SAVSR(**SMALL_CFG, osconv_impl="taps", remat_train=remat,
+                      train_loop=loop)
+
+        def loss_fn(tr):
+            sr, ups = model.apply({**tr, **stats}, lq, (2.0, 2.0), train=True)
+            return jnp.sqrt((sr - gt) ** 2 + 1e-12).mean(), ups
+
+        (l, ups), g = jax.jit(jax.value_and_grad(loss_fn, has_aux=True))(trainable)
+        return l, g, ups
+
+    l_u, g_u, s_u = run("unroll")
+    l_s, g_s, s_s = run("scan")
+    assert abs(float(l_u) - float(l_s)) < 1e-6
+    assert set(s_u) == set(s_s)
+    for k in s_u:
+        np.testing.assert_allclose(
+            np.asarray(s_u[k]), np.asarray(s_s[k]), rtol=0, atol=1e-6, err_msg=k
+        )
+    for k in g_u:
+        a, b = np.asarray(g_u[k]), np.asarray(g_s[k])
+        tol = max(1e-4 * np.abs(a).max(), 1e-9)
+        assert np.abs(a - b).max() < tol, k
