@@ -141,3 +141,46 @@ def test_train_loop_scan_equivalence(remat):
         a, b = np.asarray(g_u[k]), np.asarray(g_s[k])
         tol = max(1e-4 * np.abs(a).max(), 1e-9)
         assert np.abs(a - b).max() < tol, k
+
+
+def test_train_loop_scan_multigroup_stats():
+    """Multi-group trunk scan: the per-group OSAdapt BN stat updates come out
+    of the scan as stacked outputs and must scatter back to the right
+    adapt.{i}.* keys (n_resgroups=2, fresh-init params)."""
+    cfg = {**SMALL_CFG, "n_resgroups": 2, "w1_num_block": 1,
+           "n_resblocks": 1}
+    rng = np.random.default_rng(11)
+    lq = jnp.asarray(rng.random((1, 7, 8, 8, 3), dtype=np.float32))
+    gt = jnp.asarray(rng.random((1, 16, 16, 3), dtype=np.float32))
+
+    def run(loop):
+        model = SAVSR(**cfg, osconv_impl="taps", remat_train=False,
+                      train_loop=loop)
+        params = model.init(jax.random.PRNGKey(0))
+        # perturb running stats so the chained-update arithmetic is visible
+        params = {
+            k: (v + 0.25 if k.endswith("running_mean") else v)
+            for k, v in params.items()
+        }
+        trainable, stats = split_params(params)
+
+        def loss_fn(tr):
+            sr, ups = model.apply({**tr, **stats}, lq, (2.0, 2.0), train=True)
+            return jnp.sqrt((sr - gt) ** 2 + 1e-12).mean(), ups
+
+        (l, ups), g = jax.jit(jax.value_and_grad(loss_fn, has_aux=True))(trainable)
+        return l, g, ups
+
+    l_u, g_u, s_u = run("unroll")
+    l_s, g_s, s_s = run("scan")
+    assert abs(float(l_u) - float(l_s)) < 1e-6
+    assert set(s_u) == set(s_s)
+    assert any(k.startswith("adapt.1.") for k in s_u)  # multi-group coverage
+    for k in s_u:
+        np.testing.assert_allclose(
+            np.asarray(s_u[k]), np.asarray(s_s[k]), rtol=0, atol=1e-6, err_msg=k
+        )
+    for k in g_u:
+        a, b = np.asarray(g_u[k]), np.asarray(g_s[k])
+        tol = max(1e-4 * np.abs(a).max(), 1e-9)
+        assert np.abs(a - b).max() < tol, k
