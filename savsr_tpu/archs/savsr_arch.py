@@ -955,6 +955,13 @@ class SAVSRConfig:
     #             (jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
     remat_train: bool = True
     remat_policy: str = "full"
+    # selective remat: rematerialize ONLY the STAU upsampler segment even
+    # when remat_train=False. STAU's grid-sample gathers + per-pixel expert
+    # tensors are the dominant saved-activation cost of the no-remat step
+    # (the measured HBM-OOM site at B=16 with the taps engine) while its
+    # recompute is cheap relative to the alignment chains — the memory/FLOP
+    # sweet spot between full remat and none.
+    remat_stau: bool = False
     # training loop structure:
     #   "unroll" — the alignment scan and trunk groups are unrolled in the
     #              training forward (one HLO copy per iteration; simplest
@@ -1419,7 +1426,8 @@ def _savsr_apply_inner(
 
     sr = _ckpt_call(
         ctx, _stau, h_feat[:, :h_input, :w_input],
-        align_feat[:, :h_input, :w_input], remat=cfg.remat_train,
+        align_feat[:, :h_input, :w_input],
+        remat=cfg.remat_train or cfg.remat_stau,
         policy=cfg.remat_policy,
     )
     sr = conv2d(ctx, "tail", sr, padding=1)

@@ -7,7 +7,7 @@ fetches the loss scalar (the axon relay elides unconsumed dispatches).
 
 Knobs (env):
   SAVSR_TB_BATCH=16  SAVSR_TB_SIZE=60  SAVSR_TB_STEPS=8  SAVSR_TB_SCALE=2
-  SAVSR_TB_BF16=1    SAVSR_TB_REMAT=full|dots|none  SAVSR_TB_WIDTH=64
+  SAVSR_TB_BF16=1    SAVSR_TB_REMAT=full|dots|none|stau  SAVSR_TB_WIDTH=64
 """
 
 from __future__ import annotations
@@ -40,7 +40,10 @@ def main():
         fusion_win=5, interval=0, w1_num_block=4, w2_num_block=2,
         n_resgroups=4, n_resblocks=8,
         osconv_impl=os.environ.get("SAVSR_TB_OSCONV", "einsum"),
-        remat_train=remat != "none",
+        # "stau" = selective remat: no-remat everywhere except the STAU
+        # upsampler segment (the measured HBM hotspot of the no-remat step)
+        remat_train=remat in ("full", "dots"),
+        remat_stau=remat == "stau",
         remat_policy=remat if remat in ("full", "dots") else "full",
         train_loop=os.environ.get("SAVSR_TB_LOOP", "unroll"),
     )

@@ -143,6 +143,47 @@ def test_train_loop_scan_equivalence(remat):
         assert np.abs(a - b).max() < tol, k
 
 
+def test_remat_stau_equivalence():
+    """remat_stau (selective remat of ONLY the STAU upsampler segment, the
+    measured HBM hotspot of the no-remat training step) must not change the
+    step's math: same loss, gradients, and running-stat updates as the plain
+    no-remat step — jax.checkpoint changes scheduling, not values."""
+    state_path = os.path.join(GOLDEN_DIR, "savsr_small_state.npz")
+    if not os.path.isfile(state_path):
+        pytest.skip("state golden not generated")
+    params = {
+        k: jnp.asarray(v)
+        for k, v in convert_state_dict(dict(np.load(state_path))).items()
+    }
+    rng = np.random.default_rng(7)
+    lq = jnp.asarray(rng.random((2, 7, 12, 12, 3), dtype=np.float32))
+    gt = jnp.asarray(rng.random((2, 24, 24, 3), dtype=np.float32))
+    trainable, stats = split_params(params)
+
+    def run(**kw):
+        model = SAVSR(**SMALL_CFG, osconv_impl="taps", remat_train=False, **kw)
+
+        def loss_fn(tr):
+            sr, ups = model.apply({**tr, **stats}, lq, (2.0, 2.0), train=True)
+            return jnp.sqrt((sr - gt) ** 2 + 1e-12).mean(), ups
+
+        (l, ups), g = jax.jit(jax.value_and_grad(loss_fn, has_aux=True))(trainable)
+        return l, g, ups
+
+    l0, g0, s0 = run()
+    l1, g1, s1 = run(remat_stau=True)
+    assert abs(float(l0) - float(l1)) < 1e-7
+    assert set(s0) == set(s1)
+    for k in s0:
+        np.testing.assert_allclose(
+            np.asarray(s0[k]), np.asarray(s1[k]), rtol=0, atol=1e-7, err_msg=k
+        )
+    for k in g0:
+        a, b = np.asarray(g0[k]), np.asarray(g1[k])
+        tol = max(1e-5 * np.abs(a).max(), 1e-9)
+        assert np.abs(a - b).max() < tol, k
+
+
 def test_train_loop_scan_multigroup_stats():
     """Multi-group trunk scan: the per-group OSAdapt BN stat updates come out
     of the scan as stacked outputs and must scatter back to the right
