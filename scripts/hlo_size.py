@@ -36,7 +36,8 @@ def build(train_loop: str):
         fusion_win=5, interval=0, w1_num_block=4, w2_num_block=2,
         n_resgroups=4, n_resblocks=8,
         osconv_impl=os.environ.get("SAVSR_TB_OSCONV", "taps"),
-        remat_train=remat != "none",
+        remat_train=remat in ("full", "dots"),
+        remat_stau=remat == "stau",
         remat_policy=remat if remat in ("full", "dots") else "full",
         train_loop=train_loop,
     )
