@@ -221,6 +221,21 @@ def osconv_apply_module(
     if sa is not None:
         agg = agg * sa[:, :, :, None, None]
 
+    if impl == "pallas_train":
+        # fully-fused trainable path: ca/fa fold into the small aggregated
+        # weight (scaling the weight's Cin/Cout axes == scaling conv inputs/
+        # outputs), raw activations stream through the Pallas forward AND
+        # backward kernels (osconv_agg_train) — no elementwise activation
+        # pass, no im2col patch tensor in either direction
+        from ..ops.pallas.osconv_kernel import osconv_agg_train
+
+        assert stride == 1
+        x_cat = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=-1)
+        agg = agg * ca[:, None, None, :, None]
+        if fa is not None:
+            agg = agg * fa[:, None, None, None, :]
+        return osconv_agg_train(x_cat, agg, padding)
+
     y = None
     off = 0
     for p in parts:

@@ -112,6 +112,36 @@ def osconv_apply_taps(
     return y
 
 
+def osconv_apply_kpatch3(
+    x: jnp.ndarray, weight: jnp.ndarray, stride: int = 1, padding: int = 0
+) -> jnp.ndarray:
+    """Half-im2col: patch only the WIDTH taps (kw shifted slices stacked
+    along the channel axis -> [B, Hp, W, kw*Cin], a kw-times copy instead of
+    the einsum engine's kh*kw-times patch tensor), then contract one batched
+    GEMM per ROW tap: y = sum_dy P3[:, dy:dy+H] @ W_dy with
+    W_dy = weight[:, dy] reshaped [B, kw*Cin, Cout]. kh matmuls of
+    K = kw*Cin (e.g. 576 at Cin=192) instead of the taps engine's kh*kw
+    small K=Cin dots -- fewer, deeper MXU contractions, 3x less operand
+    re-materialization."""
+    b, kh, kw, ci, co = weight.shape
+    if stride != 1:
+        return osconv_apply_einsum(x, weight, stride, padding)
+    if padding:
+        x = jnp.pad(x, ((0, 0), (padding, padding), (padding, padding), (0, 0)))
+    h, w_ = x.shape[1], x.shape[2]
+    ho = h - kh + 1
+    wo = w_ - kw + 1
+    # [B, Hp, Wo, kw*Cin]: width taps stacked along channels
+    p3 = jnp.concatenate([x[:, :, dx : dx + wo, :] for dx in range(kw)], axis=-1)
+    # weight rows: [B, kh, kw*Cin, Cout]
+    wr = weight.reshape(b, kh, kw * ci, co)
+    y = None
+    for dy in range(kh):
+        yt = jnp.einsum("bhwi,bio->bhwo", p3[:, dy : dy + ho], wr[:, dy])
+        y = yt if y is None else y + yt
+    return y
+
+
 def osconv_apply(
     x: jnp.ndarray,
     weight: jnp.ndarray,
@@ -127,6 +157,13 @@ def osconv_apply(
         return osconv_apply_batchgroup(x, weight, stride, padding)
     if impl == "taps":
         return osconv_apply_taps(x, weight, stride, padding)
+    if impl == "kpatch3":
+        return osconv_apply_kpatch3(x, weight, stride, padding)
+    if impl == "pallas_train":
+        from .pallas.osconv_kernel import osconv_agg_train
+
+        assert stride == 1
+        return osconv_agg_train(x, weight, padding)
     raise ValueError(f"unknown osconv impl {impl}")
     # the fully-fused Pallas path lives in ops/pallas/osconv_kernel.py and is
     # invoked from the arch (it consumes raw x + attentions, not the

@@ -19,8 +19,15 @@ activation bytes). This kernel does neither:
 Grid: (B, H/TH, W/TW), row-major; agg[b] is DMA'd into VMEM once per batch
 sample and reused across its spatial tiles.
 
-Backward: custom_vjp delegating to the XLA einsum formulation (identical
-math), so the fused forward is usable in training.
+Backward, two tiers:
+  - ``osconv_fused`` (serving): custom_vjp delegating to the XLA einsum
+    formulation (identical math), so the fused forward is usable anywhere.
+  - ``osconv_agg_train`` / ``osconv_fused_train`` (training,
+    ``osconv_impl: pallas_train``): fully-Pallas backward — dx runs as a
+    transpose conv through the SAME forward kernel (spatially flipped taps,
+    in/out channel axes swapped, padding kh-1-p), and the per-sample weight
+    gradient streams through ``_dagg_kernel`` with the forward's slab
+    pattern. Neither direction materializes an im2col patch tensor.
 """
 
 from __future__ import annotations
@@ -31,6 +38,10 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
 
 
 def _osconv_kernel(
@@ -136,18 +147,20 @@ def osconv_pallas_agg(x: jnp.ndarray, agg_weight: jnp.ndarray, padding: int = 1)
         cout = cout + opad
     # matmuls/outputs only need the 8-aligned prefix of the 128-padded cout
     cout_round = cout_orig + ((-cout_orig) % 8)
-    # second-minor (W) slices must be 8-aligned under bf16 tiling; pad W
-    w_eff = w + ((-w) % 8)
+    # general padding (the transpose-conv dx path runs at kh-1-padding):
+    # output extent ho x wo, computed on a w_eff-wide (8-aligned) canvas
+    ho = h + 2 * padding - kh + 1
+    wo = w + 2 * padding - kw + 1
+    w_eff = wo + ((-wo) % 8)
     tile_h = _pick_tile_h(w_eff, cin, cout, kh, kw, x.dtype.itemsize)
-    n_rows = pl.cdiv(h, tile_h)
+    n_rows = pl.cdiv(ho, tile_h)
     grid = (b, n_rows)
-    ph = n_rows * tile_h - h
     x_pad = jnp.pad(
         x,
         (
             (0, 0),
-            (padding, ph + (kh - 1 - padding)),
-            (padding, (w_eff - w) + (kw - 1 - padding)),
+            (padding, n_rows * tile_h + kh - 1 - h - padding),
+            (padding, w_eff + kw - 1 - w - padding),
             (0, 0),
         ),
     )
@@ -177,8 +190,197 @@ def osconv_pallas_agg(x: jnp.ndarray, agg_weight: jnp.ndarray, padding: int = 1)
             pltpu.VMEM((P, cin, cout), jnp.float32),
             pltpu.SemaphoreType.DMA((3,)),
         ],
+        interpret=_interpret(),
     )(x_shifts, agg_weight.reshape(b, P, cin, cout).astype(jnp.float32))
-    return out[:, :h, :w, :cout_orig]
+    return out[:, :ho, :wo, :cout_orig]
+
+
+def _dagg_kernel(
+    x_ref,       # HBM: [kw, B, Hp + kh-1, W, Cin] (pre-padded, pre-shifted)
+    g_ref,       # HBM: [B, Hp, W, Cout] (cotangent, zero-padded)
+    out_ref,     # VMEM block: [1, P, Cin, Cout] f32 — revisited across row tiles
+    x_slab,      # scratch VMEM: [2, kw, TH + kh-1, W, Cin]
+    g_slab,      # scratch VMEM: [2, TH, W, Cout]
+    sems,        # DMA semaphores: (2 x slots, 2 g slots)
+    *,
+    kh: int,
+    kw: int,
+    tile_h: int,
+    w_out: int,
+    cin: int,
+    cout: int,
+    n_rows: int,
+    batch: int,
+):
+    """Per-sample weight gradient: dagg[b,p,i,o] = sum_hw xs_p[b,hw,i]*g[b,hw,o].
+
+    Same slab streaming as the forward (each x element read once from HBM per
+    backward, no [B,H,W,P,Cin] patch tensor); the P accumulators live in the
+    revisited output block (zeroed on a sample's first row tile)."""
+    b = pl.program_id(0)
+    th = pl.program_id(1)
+    step = b * n_rows + th
+    total = batch * n_rows
+
+    def x_copy(slot, bb, tt):
+        return pltpu.make_async_copy(
+            x_ref.at[:, bb, pl.ds(tt * tile_h, tile_h + kh - 1), :, :],
+            x_slab.at[slot],
+            sems.at[slot],
+        )
+
+    def g_copy(slot, bb, tt):
+        return pltpu.make_async_copy(
+            g_ref.at[bb, pl.ds(tt * tile_h, tile_h), :, :],
+            g_slab.at[slot],
+            sems.at[2 + slot],
+        )
+
+    slot = jax.lax.rem(step, 2)
+    nxt = step + 1
+    nb = nxt // n_rows
+    nth = jax.lax.rem(nxt, n_rows)
+
+    @pl.when(step == 0)
+    def _():
+        x_copy(slot, b, th).start()
+        g_copy(slot, b, th).start()
+
+    @pl.when(nxt < total)
+    def _():
+        x_copy(1 - slot, nb, nth).start()
+        g_copy(1 - slot, nb, nth).start()
+
+    x_copy(slot, b, th).wait()
+    g_copy(slot, b, th).wait()
+
+    @pl.when(th == 0)
+    def _():
+        out_ref[0] = jnp.zeros_like(out_ref[0])
+
+    g_flat = g_slab[slot].reshape(tile_h * w_out, cout)
+    for dy in range(kh):
+        for dx in range(kw):
+            p = dy * kw + dx
+            window = x_slab[slot, dx, dy : dy + tile_h, :, :].reshape(
+                tile_h * w_out, cin
+            )
+            out_ref[0, p] = out_ref[0, p] + jax.lax.dot_general(
+                window,
+                g_flat,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+
+def _pick_tile_h_dagg(w: int, cin: int, cout: int, kh: int, kw: int,
+                      itemsize: int) -> int:
+    for th in (64, 32, 16, 8, 4):
+        x_slab = 2 * kw * (th + kh - 1) * w * cin * itemsize
+        g_slab = 2 * th * w * cout * itemsize
+        acc = kh * kw * cin * cout * 4
+        if x_slab + g_slab + acc <= 10 * 1024 * 1024:
+            return th
+    return 4
+
+
+def osconv_pallas_dagg(x: jnp.ndarray, g: jnp.ndarray, kh: int, kw: int,
+                       padding: int = 1) -> jnp.ndarray:
+    """Weight-gradient kernel: [B,H,W,Cin] x [B,Ho,Wo,Cout] -> [B,P,Cin,Cout]."""
+    b, h, w, cin = x.shape
+    cout = g.shape[-1]
+    cpad = (-cin) % 128
+    opad = (-cout) % 128
+    if cpad:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, cpad)))
+    if opad:
+        g = jnp.pad(g, ((0, 0), (0, 0), (0, 0), (0, opad)))
+    cin_p, cout_p = cin + cpad, cout + opad
+    ho = h + 2 * padding - kh + 1
+    wo = w + 2 * padding - kw + 1
+    w_eff = wo + ((-wo) % 8)
+    tile_h = _pick_tile_h_dagg(w_eff, cin_p, cout_p, kh, kw, x.dtype.itemsize)
+    n_rows = pl.cdiv(ho, tile_h)
+    x_pad = jnp.pad(
+        x,
+        (
+            (0, 0),
+            (padding, n_rows * tile_h + kh - 1 - h - padding),
+            (padding, w_eff + kw - 1 - w - padding),
+            (0, 0),
+        ),
+    )
+    x_shifts = jnp.stack(
+        [x_pad[:, :, dx : dx + w_eff, :] for dx in range(kw)], axis=0
+    )
+    g_pad = jnp.pad(
+        g,
+        ((0, 0), (0, n_rows * tile_h - g.shape[1]),
+         (0, w_eff - g.shape[2]), (0, 0)),
+    )
+    P = kh * kw
+    kernel = functools.partial(
+        _dagg_kernel, kh=kh, kw=kw, tile_h=tile_h, w_out=w_eff, cin=cin_p,
+        cout=cout_p, n_rows=n_rows, batch=b,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, n_rows),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, P, cin_p, cout_p),
+            lambda bb, i: (bb, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, P, cin_p, cout_p), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, kw, tile_h + kh - 1, w_eff, cin_p), x.dtype),
+            pltpu.VMEM((2, tile_h, w_eff, cout_p), g.dtype),
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+        interpret=_interpret(),
+    )(x_shifts, g_pad)
+    return out[:, :, :cin, :cout]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def osconv_agg_train(x, agg, padding=1):
+    """Trainable fused dynamic conv at the per-sample-weight level: Pallas
+    forward AND Pallas backward (dx as a transpose-conv through the forward
+    kernel with flipped/io-swapped weights; dagg via the slab-streaming
+    weight-grad kernel) — no im2col patch tensor in either direction.
+
+    x [B,H,W,Cin]; agg [B,kh,kw,Cin,Cout]; stride 1."""
+    return osconv_pallas_agg(x, agg, padding)
+
+
+def _agg_train_fwd(x, agg, padding):
+    return osconv_pallas_agg(x, agg, padding), (x, agg)
+
+
+def _agg_train_bwd(padding, residuals, g):
+    x, agg = residuals
+    kh, kw = agg.shape[1], agg.shape[2]
+    # transpose conv: spatially flipped taps, in/out channel axes swapped
+    agg_t = jnp.swapaxes(agg[:, ::-1, ::-1], 3, 4)
+    dx = osconv_pallas_agg(g, agg_t, kh - 1 - padding)
+    dagg = osconv_pallas_dagg(x, g, kh, kw, padding).astype(agg.dtype)
+    return dx, dagg.reshape(agg.shape)
+
+
+osconv_agg_train.defvjp(_agg_train_fwd, _agg_train_bwd)
+
+
+def osconv_fused_train(x, weight, ca, fa, sa, ka, padding=1):
+    """Training-path fused OSConv: attentions fold into the small per-sample
+    aggregated weight in XLA (jax AD differentiates the fold — its operands
+    are a few MB), the conv itself and BOTH its gradients run as Pallas
+    slab-streaming kernels (osconv_agg_train)."""
+    agg = _aggregate_weights(weight, ca, fa, sa, ka)
+    return osconv_agg_train(x, agg, padding)
 
 
 def _aggregate_weights(weight, ca, fa, sa, ka):

@@ -34,7 +34,7 @@ def main():
     N = int(os.environ.get("SAVSR_OP_N", 32))
     dtype = jnp.bfloat16
 
-    impls = _sys.argv[1:] or ["einsum", "grouped", "batchgroup", "taps"]
+    impls = _sys.argv[1:] or ["einsum", "grouped", "batchgroup", "taps", "kpatch3"]
 
     rng = np.random.default_rng(0)
     # fresh operands per scan iteration — a loop-invariant body gets hoisted

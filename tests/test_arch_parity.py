@@ -71,7 +71,7 @@ def test_osconv_impls_agree():
             return osconv_apply_module(Ctx(p), "", x, (2.7, 1.3), padding=1, impl=impl)
 
     y1 = np.asarray(fwd(params, x, "einsum"))
-    for impl in ("grouped", "batchgroup", "taps"):
+    for impl in ("grouped", "batchgroup", "taps", "kpatch3"):
         y2 = np.asarray(fwd(params, x, impl))
         assert np.abs(y1 - y2).max() < 1e-5, impl
 

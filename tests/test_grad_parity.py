@@ -61,7 +61,7 @@ def test_gradient_parity(remat):
     assert worst < 2e-3, (worst_key, worst)
 
 
-@pytest.mark.parametrize("impl", ["grouped", "batchgroup", "taps"])
+@pytest.mark.parametrize("impl", ["grouped", "batchgroup", "taps", "kpatch3", "pallas_train"])
 def test_gradient_impl_agreement(impl):
     """Gradients through the alternative OSConv execution engines must match
     the einsum engine (identical math, different XLA formulations — the

@@ -133,12 +133,16 @@ def test_osconv_patches():
     np.testing.assert_array_equal(np.asarray(p[:, :, :, 4, :]), np.asarray(x))
 
 
-@pytest.mark.parametrize("impl", ["grouped", "batchgroup", "taps"])
+@pytest.mark.parametrize(
+    "impl", ["grouped", "batchgroup", "taps", "kpatch3", "pallas_train"]
+)
 @pytest.mark.parametrize("stride,padding", [(1, 1), (1, 0), (2, 1)])
 def test_osconv_engine_agreement(impl, stride, padding):
     """Every OSConv execution engine computes the same per-sample conv."""
     from savsr_tpu.ops.osconv import osconv_apply
 
+    if impl == "pallas_train" and stride != 1:
+        pytest.skip("fused kernel is stride-1 (all SAVSR instances)")
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal((3, 9, 11, 6), dtype=np.float32))
     w = jnp.asarray(rng.standard_normal((3, 3, 3, 6, 5), dtype=np.float32))
