@@ -31,6 +31,14 @@ import json
 import os
 import time
 
+# persistent compile cache: the serving program is already compiled into
+# the repo-local cache by earlier runs; without this the driver's bench
+# invocation pays the full remote cold compile (~10+ min through the relay)
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+)
+
 import jax
 import jax.numpy as jnp
 import numpy as np
