@@ -5,8 +5,8 @@ design: instead of DDP-wrapping a stateful module, the model holds pure
 pytrees (params / params_ema / opt_state) replicated over a 1-D data mesh;
 the train step is a jitted pure function and XLA derives the gradient
 all-reduce from shardings. Checkpoint artifacts keep the reference's shape:
-``net_g_<iter>.npz`` holding {params, params_ema} and
-``<iter>.state`` orbax directories holding {step, epoch, opt_state, ...}.
+``net_g_<iter>.npz`` holding {params, params_ema} and a pickled
+``<iter>.state`` holding {epoch, iter, opt_state, ...}.
 """
 
 from __future__ import annotations
