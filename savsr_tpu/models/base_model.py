@@ -81,12 +81,35 @@ class BaseModel:
     # ------------------------------------------------------------------ #
 
     def get_optimizer(self, optim_type: str, **kwargs) -> optax.GradientTransformation:
-        """optax optimizer matching torch semantics; the learning rate is
-        injected per-step (schedules are evaluated on host), so the chain
-        ends with scale(-1) and updates are multiplied by lr in the step."""
+        """optax optimizer matching torch semantics (all 7 reference types,
+        base_model.py:107-124). For the Adam family / SGD / RMSprop the
+        learning rate is injected per-step (schedules are evaluated on
+        host): the chain ends with scale(-1) and updates are multiplied by
+        lr in the step. ASGD and Rprop consume lr inside the transform
+        (Rprop: step-size init only; ASGD: nonlinear eta decay), so they
+        return final updates and set ``self._opt_self_scaled`` — the train
+        step then skips its lr multiply (scheduled lr does not apply to
+        these two, matching their torch semantics where lr is an initial /
+        decay constant rather than a per-step multiplier)."""
         wd = kwargs.pop("weight_decay", 0) or 0
-        kwargs.pop("lr", None)
+        lr = kwargs.pop("lr", None) or 1e-2
         betas = kwargs.pop("betas", (0.9, 0.999))
+        self._opt_self_scaled = optim_type in ("ASGD", "Rprop")
+        if self._opt_self_scaled:
+            from .optimizers import scale_by_asgd, scale_by_rprop
+
+            chain = []
+            if optim_type == "ASGD":
+                if wd:
+                    chain.append(optax.add_decayed_weights(wd))
+                chain.append(scale_by_asgd(
+                    lr=lr, lambd=kwargs.pop("lambd", 1e-4),
+                    alpha=kwargs.pop("alpha", 0.75), t0=kwargs.pop("t0", 1e6)))
+            else:
+                chain.append(scale_by_rprop(
+                    lr=lr, etas=tuple(kwargs.pop("etas", (0.5, 1.2))),
+                    step_sizes=tuple(kwargs.pop("step_sizes", (1e-6, 50.0)))))
+            return optax.chain(*chain)
         chain = []
         if optim_type == "Adam":
             if wd:

@@ -184,6 +184,12 @@ class SRModel(BaseModel):
                     grad_factors=None):
         accum = int(self.opt.get("train", {}).get("accum_steps", 1))
         if accum > 1:
+            if lq.shape[0] % accum != 0:
+                raise ValueError(
+                    f"train: accum_steps={accum} requires the batch dimension "
+                    f"({lq.shape[0]}) to be divisible by it — adjust "
+                    f"batch_size_per_gpu or accum_steps."
+                )
             # gradient micro-batching: with remat off, a half-batch
             # forward+backward fits on-chip and two serialized micro-steps
             # beat one full-batch step that must recompute the forward
@@ -259,7 +265,10 @@ class SRModel(BaseModel):
             # reference video_recurrent_model.py:23-65)
             grads = {k: g * grad_factors.get(k, 1.0) for k, g in grads.items()}
         updates, opt_state = self.optimizer_g.update(grads, opt_state, trainable)
-        updates = jax.tree_util.tree_map(lambda u: u * lr, updates)
+        if not getattr(self, "_opt_self_scaled", False):
+            # ASGD/Rprop return final updates (lr lives inside the
+            # transform); everything else is scaled by the scheduled lr here
+            updates = jax.tree_util.tree_map(lambda u: u * lr, updates)
         trainable = jax.tree_util.tree_map(lambda p, u: p + u, trainable, updates)
         # cast BN running-stat updates back to the master dtype (under
         # train.bf16 the forward computes them in bf16; the stored stats
