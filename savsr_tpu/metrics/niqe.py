@@ -96,11 +96,115 @@ def _block_features(mscn_blocks: np.ndarray) -> np.ndarray:
     return np.stack(cols, axis=1)
 
 
-def _mscn(img: np.ndarray, window: np.ndarray) -> np.ndarray:
+def make_gaussian_window(size: int = 7, sigma: float = 7.0 / 6.0) -> np.ndarray:
+    """The canonical NIQE 7x7 Gaussian weighting window (sigma 7/6,
+    unit-sum) — identical to the one shipped inside the BasicSR
+    niqe_pris_params asset; used by scripts/fit_niqe_pris_params.py to make
+    NIQE self-sufficient without the official asset."""
+    k = cv2.getGaussianKernel(size, sigma)
+    w = (k @ k.T).astype(np.float64)
+    return w / w.sum()
+
+
+def _mscn(img: np.ndarray, window: np.ndarray, return_sigma: bool = False):
     mu = cv2.filter2D(img, -1, window, borderType=cv2.BORDER_REPLICATE)
     second = cv2.filter2D(img * img, -1, window, borderType=cv2.BORDER_REPLICATE)
     sigma = np.sqrt(np.abs(second - mu * mu))
-    return (img - mu) / (sigma + 1.0)
+    mscn = (img - mu) / (sigma + 1.0)
+    return (mscn, sigma) if return_sigma else mscn
+
+
+def image_multiscale_features(
+    img: np.ndarray,
+    gaussian_window: np.ndarray,
+    block_size_h: int = 96,
+    block_size_w: int = 96,
+):
+    """Per-block 36-dim NIQE features of one gray/Y [0,255] image at scales
+    1 and 0.5, plus each block's scale-1 sharpness (mean of the local sigma
+    field — the pristine-fit block-selection criterion of the original
+    NIQE model-estimation procedure).
+
+    Returns (feats [n_blocks, 36], sharpness [n_blocks]).
+    """
+    assert img.ndim == 2, "Input image must be a gray/Y image."
+    nbh = img.shape[0] // block_size_h
+    nbw = img.shape[1] // block_size_w
+    img = img[: nbh * block_size_h, : nbw * block_size_w]
+
+    per_scale = []
+    sharpness = None
+    for level in range(2):
+        bh, bw = block_size_h >> level, block_size_w >> level
+        mscn, sigma = _mscn(img, gaussian_window, return_sigma=True)
+        blocks = (
+            mscn[: nbh * bh, : nbw * bw]
+            .reshape(nbh, bh, nbw, bw)
+            .transpose(2, 0, 1, 3)
+            .reshape(nbw * nbh, bh, bw)
+        )
+        per_scale.append(_block_features(blocks))
+        if level == 0:
+            sharpness = (
+                sigma[: nbh * bh, : nbw * bw]
+                .reshape(nbh, bh, nbw, bw)
+                .transpose(2, 0, 1, 3)
+                .reshape(nbw * nbh, -1)
+                .mean(axis=1)
+            )
+            from ..data.resize import resize_np
+
+            h2, w2 = img.shape[0] // 2, img.shape[1] // 2
+            img = resize_np(
+                (img / 255.0)[..., None], (h2, w2), mode="matlab", scale=(0.5, 0.5)
+            )[..., 0] * 255.0
+
+    return np.concatenate(per_scale, axis=1), sharpness
+
+
+def fit_pris_params(
+    images,
+    block_size_h: int = 96,
+    block_size_w: int = 96,
+    sharpness_threshold: float = 0.75,
+):
+    """Fit the pristine multivariate Gaussian from a corpus of gray/Y
+    [0,255] images (the NIQE model-estimation procedure): per image, keep
+    only blocks whose sharpness exceeds ``sharpness_threshold`` x the
+    image's max block sharpness, pool the surviving 36-dim features over
+    the corpus, and fit (mean, covariance) over NaN-free rows.
+
+    Returns a dict with the exact key layout of the BasicSR
+    ``niqe_pris_params.npz`` asset: mu_pris_param [36], cov_pris_param
+    [36, 36], gaussian_window [7, 7] — drop-in for ``calculate_niqe``.
+    """
+    window = make_gaussian_window()
+    pooled = []
+    for img in images:
+        img = np.asarray(img, dtype=np.float32)
+        assert img.ndim == 2, "fit_pris_params expects gray/Y images"
+        feats, sharp = image_multiscale_features(
+            img.round(), window, block_size_h, block_size_w
+        )
+        if feats.shape[0] == 0:
+            continue
+        keep = sharp > sharpness_threshold * sharp.max()
+        pooled.append(feats[keep])
+    if not pooled:
+        raise ValueError(
+            "no usable blocks: images must be at least "
+            f"{block_size_h}x{block_size_w}"
+        )
+    feats = np.concatenate(pooled, axis=0)
+    ok = ~np.isnan(feats).any(axis=1)
+    feats = feats[ok]
+    if feats.shape[0] < 2:
+        raise ValueError("need at least 2 NaN-free pristine blocks to fit a covariance")
+    return {
+        "mu_pris_param": feats.mean(axis=0),
+        "cov_pris_param": np.cov(feats, rowvar=False),
+        "gaussian_window": window,
+    }
 
 
 def niqe_core(

@@ -104,6 +104,88 @@ def test_niqe_core_matches_reference(tmp_path):
     np.testing.assert_allclose(ours, theirs, rtol=1e-4)
 
 
+def _natural_image(rng, h=192, w=192, seed_phase=0.0):
+    """Smooth structure + texture + edges — a stand-in 'natural' image."""
+    import cv2
+
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    base = (
+        110
+        + 60 * np.sin(yy / 19.0 + seed_phase) * np.cos(xx / 29.0)
+        + 30 * (((xx + yy) // 48) % 2)
+    )
+    texture = cv2.GaussianBlur(rng.normal(size=(h, w)), (0, 0), 1.2) * 40
+    return (base + texture).clip(0, 255)
+
+
+def test_fit_pris_params_synthetic_corpus(tmp_path):
+    """scripts/fit_niqe_pris_params.py path: fit the pristine MVG from a
+    synthetic corpus, then verify the fitted asset (a) plugs into
+    calculate_niqe, and (b) orders quality correctly — a heavily degraded
+    image scores farther from the pristine model than a corpus-like one."""
+    from savsr_tpu.metrics.niqe import fit_pris_params, niqe_core
+
+    rng = np.random.default_rng(7)
+    corpus = [_natural_image(rng, seed_phase=i * 0.7) for i in range(6)]
+    pris = fit_pris_params(corpus)
+    assert pris["mu_pris_param"].shape == (36,)
+    assert pris["cov_pris_param"].shape == (36, 36)
+    assert np.isfinite(pris["mu_pris_param"]).all()
+    # covariance must be symmetric PSD-ish (fit over real feature rows)
+    np.testing.assert_allclose(
+        pris["cov_pris_param"], pris["cov_pris_param"].T, atol=1e-10
+    )
+
+    clean = _natural_image(rng, seed_phase=9.9)
+    import cv2
+
+    degraded = cv2.GaussianBlur(clean, (0, 0), 4.0) + rng.normal(
+        scale=30.0, size=clean.shape
+    )
+    degraded = degraded.clip(0, 255)
+
+    d_clean = niqe_core(clean.round(), pris["mu_pris_param"],
+                        pris["cov_pris_param"], pris["gaussian_window"])
+    d_bad = niqe_core(degraded.round(), pris["mu_pris_param"],
+                      pris["cov_pris_param"], pris["gaussian_window"])
+    assert np.isfinite(d_clean) and np.isfinite(d_bad)
+    assert d_bad > d_clean, (d_clean, d_bad)
+
+    # the npz round-trips through the calculate_niqe asset path
+    path = tmp_path / "fitted_pris.npz"
+    np.savez(path, **pris)
+    img_bgr = np.repeat(clean[..., None], 3, axis=2).astype(np.float32)
+    v = calculate_niqe(img_bgr, crop_border=0, pris_params_path=str(path))
+    assert np.isfinite(v)
+
+
+def test_fit_niqe_cli(tmp_path):
+    """The fitting script end-to-end on a folder of PNGs."""
+    import subprocess
+    import sys as _sys
+
+    import cv2
+
+    rng = np.random.default_rng(11)
+    src = tmp_path / "pristine"
+    src.mkdir()
+    for i in range(3):
+        img = _natural_image(rng, seed_phase=i * 1.3)
+        cv2.imwrite(str(src / f"im{i}.png"),
+                    np.repeat(img[..., None], 3, axis=2).astype(np.uint8))
+    out = tmp_path / "pris.npz"
+    ret = subprocess.run(
+        [_sys.executable, os.path.join(os.path.dirname(__file__), "..",
+                                       "scripts", "fit_niqe_pris_params.py"),
+         "--input", str(src), "--output", str(out)],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert ret.returncode == 0, ret.stderr + ret.stdout
+    pris = np.load(out)
+    assert pris["mu_pris_param"].shape == (36,)
+    assert pris["gaussian_window"].shape == (7, 7)
+
+
 def test_calculate_niqe_end_to_end(tmp_path):
     rng = np.random.default_rng(2)
     mu, cov, window = _synthetic_pris(rng)
