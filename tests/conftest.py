@@ -25,3 +25,33 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+import pytest  # noqa: E402
+
+# ---------------------------------------------------------------------- #
+# two test tiers: the default tier must stay green in <10 min on a 1-core
+# host from a warm compile cache; tests that compile full training graphs
+# or spawn multi-process meshes are marked `heavy` and skipped by default.
+# Run them with RUN_HEAVY=1 (or select explicitly via `-m heavy`).
+# ---------------------------------------------------------------------- #
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "heavy: compile-heavy tier (training-graph compiles, multiprocess "
+        "meshes); skipped by default — run with RUN_HEAVY=1 or -m heavy",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    if os.environ.get("RUN_HEAVY") == "1":
+        return
+    if config.getoption("-m"):
+        return  # an explicit -m expression takes over selection
+    skip = pytest.mark.skip(
+        reason="heavy tier (set RUN_HEAVY=1 or use -m heavy)"
+    )
+    for item in items:
+        if "heavy" in item.keywords:
+            item.add_marker(skip)

@@ -14,6 +14,8 @@ from savsr_tpu.archs.savsr_arch import SAVSR
 from savsr_tpu.models.base_model import split_params
 from savsr_tpu.utils.convert import convert_state_dict
 
+pytestmark = pytest.mark.heavy  # training-graph compiles / multiprocess: heavy tier
+
 GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "goldens")
 
 SMALL_CFG = dict(

@@ -13,6 +13,8 @@ import sys
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.heavy  # multiprocess mesh: heavy tier
+
 WORKER = r"""
 import os, sys, json
 os.environ["JAX_PLATFORMS"] = "cpu"

@@ -12,6 +12,8 @@ import sys
 
 import pytest
 
+pytestmark = pytest.mark.heavy  # multiprocess mesh + training-graph compile: heavy tier
+
 WORKER = r"""
 import os, sys, json
 os.environ["JAX_PLATFORMS"] = "cpu"
@@ -107,6 +109,7 @@ model.save(epoch=0, current_iter=2)
 import threading
 threading.Timer(120.0, lambda: os._exit(0)).start()
 from jax.experimental import multihost_utils
+
 multihost_utils.sync_global_devices("post_save")
 print(json.dumps({"rank": rank, "ok": True, "losses": losses}), flush=True)
 os._exit(0)

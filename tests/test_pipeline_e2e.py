@@ -86,6 +86,7 @@ def _eval_opt(vid_root, tmp_path, scale=(2.0, 2.0)):
     }
 
 
+@pytest.mark.heavy
 def test_eval_pipeline(vid_root, tmp_path):
     from savsr_tpu.data import build_dataloader, build_dataset
     from savsr_tpu.models import build_model
@@ -121,6 +122,7 @@ def test_eval_pipeline(vid_root, tmp_path):
     assert 0 < res["ssim_y"] <= 1
 
 
+@pytest.mark.heavy
 def test_train_pipeline_smoke(vimeo_root, tmp_path):
     from savsr_tpu.data import build_dataloader, build_dataset
     from savsr_tpu.models import build_model
@@ -206,6 +208,7 @@ def test_train_pipeline_smoke(vimeo_root, tmp_path):
     model.resume_training(state)
 
 
+@pytest.mark.heavy
 def test_eval_device_metrics_close_to_host(vid_root, tmp_path):
     """On-device validation metrics track the canonical host metrics."""
     from savsr_tpu.data import build_dataloader, build_dataset
@@ -238,6 +241,7 @@ def test_eval_device_metrics_close_to_host(vid_root, tmp_path):
     assert abs(host["ssim_y"] - dev["ssim_y"]) < 0.01
 
 
+@pytest.mark.heavy
 def test_train_bf16_device_degrade(vimeo_root, tmp_path):
     """AMP-analog bf16 compute + on-device asBI degradation path."""
     from savsr_tpu.data import build_dataloader, build_dataset

@@ -267,10 +267,79 @@ def gen_gradient_golden():
     print(f"gradient golden written: loss={loss.item():.6f}, {len(grads)} grads")
 
 
+def gen_trajectory_golden(steps: int = 6):
+    """Multi-step lockstep training trajectory of the reference trainer on
+    fixed batches: Adam (lr 2e-4, betas (0.9, 0.999)) + EMA(0.999) + BN
+    running-stat updates, exactly the reference optimize_parameters order
+    (sr_model.py:101-128 — zero_grad, forward, Charbonnier, backward, step,
+    model_ema; base_model.py:75-82 EMA over named_parameters only).
+
+    Golden layout (savsr_small_trajectory.npz):
+      lq[steps,...], gt[steps,...]         fixed NTCHW batches
+      loss[steps]                          per-step Charbonnier loss
+      t{t}/p/<key>, t{t}/e/<key>           tracked params / EMA per step
+      t{t}/b/<key>                         ALL buffers (BN stats) per step
+      final/p/<key>, final/e/<key>         FULL state after the last step
+    """
+    import torch
+
+    _install_lbasicsr_stubs()
+    ref_arch = _load_module(os.path.join(REF, "lbasicsr/archs/savsr_arch.py"), "ref_savsr")
+
+    torch.manual_seed(77)
+    model = ref_arch.SAVSR(
+        num_in_ch=3, num_feat=16, num_frame=7, slid_win=3, fusion_win=5,
+        interval=0, w1_num_block=2, w2_num_block=1, n_resgroups=1, n_resblocks=2,
+    )
+    model.train()
+    model.set_scale((2.0, 2.0))
+
+    opt = torch.optim.Adam(model.parameters(), lr=2e-4, betas=(0.9, 0.999),
+                           weight_decay=0, eps=1e-8)
+    ema = {k: p.detach().clone() for k, p in model.named_parameters()}
+
+    rng = np.random.default_rng(21)
+    lq = rng.random((steps, 2, 7, 3, 12, 12)).astype(np.float32)
+    gt = rng.random((steps, 2, 3, 24, 24)).astype(np.float32)
+
+    # track a spread of parameter tensors (every 12th name) — enough to
+    # catch per-step drift; the final step stores everything
+    pnames = [k for k, _ in model.named_parameters()]
+    tracked = pnames[::12]
+
+    out = {"lq": lq, "gt": gt}
+    losses = []
+    for t in range(steps):
+        opt.zero_grad()
+        sr = model(torch.from_numpy(lq[t]))
+        loss = torch.sqrt((sr - torch.from_numpy(gt[t])) ** 2 + 1e-12).mean()
+        loss.backward()
+        opt.step()
+        with torch.no_grad():
+            for k, p in model.named_parameters():
+                ema[k].mul_(0.999).add_(p.detach(), alpha=1 - 0.999)
+        losses.append(loss.item())
+        pd = dict(model.named_parameters())
+        for k in tracked:
+            out[f"t{t}/p/{k}"] = pd[k].detach().numpy().copy()
+            out[f"t{t}/e/{k}"] = ema[k].numpy().copy()
+        for k, b in model.named_buffers():
+            out[f"t{t}/b/{k}"] = b.detach().numpy().copy()
+    out["loss"] = np.asarray(losses, np.float32)
+    for k, v in model.state_dict().items():
+        out[f"final/p/{k}"] = v.numpy().copy()
+    for k, v in ema.items():
+        out[f"final/e/{k}"] = v.numpy().copy()
+    np.savez_compressed(
+        os.path.join(GOLDEN_DIR, "savsr_small_trajectory.npz"), **out)
+    print(f"trajectory golden written: {steps} steps, losses={losses}")
+
+
 if __name__ == "__main__":
     gen_core_resize()
     gen_metrics()
     gen_module_goldens()
     gen_small_savsr()
     gen_gradient_golden()
+    gen_trajectory_golden()
     gen_savsr_forward()
