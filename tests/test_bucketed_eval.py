@@ -14,6 +14,8 @@ from savsr_tpu.archs.bucketed import (
 )
 from savsr_tpu.archs.savsr_arch import SAVSR, get_hw
 
+pytestmark = pytest.mark.heavy  # bucketed eval-graph compiles: heavy tier
+
 CFG = dict(
     num_in_ch=3, num_feat=16, num_frame=7, slid_win=3, fusion_win=5,
     interval=0, w1_num_block=2, w2_num_block=1, n_resgroups=1, n_resblocks=2,

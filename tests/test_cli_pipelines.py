@@ -6,6 +6,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.heavy  # tiny end-to-end train+eval pipeline compiles: heavy tier
+
 
 @pytest.fixture(scope="module")
 def tiny_world(tmp_path_factory):

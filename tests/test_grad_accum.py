@@ -12,6 +12,8 @@ reassociation noise.
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.heavy  # training-graph compiles (5 jitted train steps): heavy tier
+
 TINY_NET = dict(
     type="SAVSR", num_in_ch=3, num_feat=16, num_frame=7, slid_win=3,
     fusion_win=5, interval=0, w1_num_block=2, w2_num_block=1,

@@ -14,6 +14,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from savsr_tpu.archs.savsr_arch import SAVSR
 
+pytestmark = pytest.mark.heavy  # sharded training-graph compiles: heavy tier
+
 CFG = dict(
     num_in_ch=3, num_feat=16, num_frame=7, slid_win=3, fusion_win=5,
     interval=0, w1_num_block=2, w2_num_block=1, n_resgroups=1, n_resblocks=2,
