@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 
 # persistent compile cache: the serving program is already compiled into
@@ -69,6 +70,62 @@ N_WINDOWS = int(os.environ.get("SAVSR_BENCH_WINDOWS", 8))
 TRIALS = int(os.environ.get("SAVSR_BENCH_TRIALS", 3))
 
 
+def measure_serving(model, params, dtype, scale, tag):
+    """Sustained serving fps at one scale, through the AOT-persisted
+    executable (utils/aot.py): Mosaic custom-call programs skip JAX's
+    persistent compile cache, so the compiled program itself is pickled to
+    .savsr_aot/ — a fresh process loads it in seconds instead of paying
+    the ~9.5-min remote serving compile."""
+    from savsr_tpu.utils.aot import compile_cached
+
+    rng = np.random.default_rng(0)
+
+    # frame-invariant STAU coordinate-head outputs, computed ONCE per
+    # (shape, scale) — the serving pipeline's per-frame path must not pay
+    # for content-independent work (savsr_arch._stau_head)
+    statics = jax.jit(
+        model.stau_statics, static_argnames=("lq_hw", "scale", "dtype")
+    )(params, lq_hw=(H, W), scale=scale, dtype=dtype)
+
+    def fwd_many(params, statics, windows):
+        def body(acc, x):
+            sr, _ = model.apply(params, x, scale, train=False,
+                                stau_statics=statics)
+            return acc + sr.astype(jnp.float32).mean(), None
+
+        acc, _ = jax.lax.scan(body, jnp.float32(0.0), windows)
+        return acc
+
+    def make(i):
+        return jnp.asarray(
+            rng.random((N_WINDOWS, 1, 7, H, W, 3), dtype=np.float32) + 0.001 * i,
+            dtype=dtype,
+        )
+
+    w0 = make(0)
+    t_start = time.perf_counter()
+    fwd_compiled, aot_info = compile_cached(fwd_many, (params, statics, w0), tag=tag)
+    print(f"[{tag}] serving executable: {aot_info}", file=sys.stderr)
+    float(fwd_compiled(params, statics, w0))  # warm (first dispatch)
+    first_result_s = time.perf_counter() - t_start
+    print(f"[{tag}] start->first-result: {first_result_s:.1f} s "
+          f"({aot_info['source']})", file=sys.stderr)
+
+    times = []
+    for i in range(1, TRIALS + 1):
+        windows = make(i)
+        # force the host->device upload to finish before timing (the relay
+        # defers transfers; a dependent scalar fetch flushes them)
+        float(windows.astype(jnp.float32).mean())
+        t0 = time.perf_counter()
+        float(fwd_compiled(params, statics, windows))  # scalar fetch forces exec
+        times.append(time.perf_counter() - t0)
+
+    fps = N_WINDOWS / min(times)
+    return fps, {"aot_source": aot_info["source"],
+                 "first_result_s": round(first_result_s, 1)}
+
+
 def main():
     from savsr_tpu.archs.savsr_arch import SAVSR
 
@@ -88,50 +145,49 @@ def main():
             lambda v: v.astype(dtype) if v.dtype == jnp.float32 else v, params
         )
 
-    rng = np.random.default_rng(0)
-
-    # frame-invariant STAU coordinate-head outputs, computed ONCE per
-    # (shape, scale) — the serving pipeline's per-frame path must not pay
-    # for content-independent work (savsr_arch._stau_head)
-    statics = jax.jit(
-        model.stau_statics, static_argnames=("lq_hw", "scale", "dtype")
-    )(params, lq_hw=(H, W), scale=SCALE, dtype=dtype)
-
-    @jax.jit
-    def fwd_many(params, statics, windows):
-        def body(acc, x):
-            sr, _ = model.apply(params, x, SCALE, train=False,
-                                stau_statics=statics)
-            return acc + sr.astype(jnp.float32).mean(), None
-
-        acc, _ = jax.lax.scan(body, jnp.float32(0.0), windows)
-        return acc
-
-    def make(i):
-        return jnp.asarray(
-            rng.random((N_WINDOWS, 1, 7, H, W, 3), dtype=np.float32) + 0.001 * i,
-            dtype=dtype,
-        )
-
-    float(fwd_many(params, statics, make(0)))  # compile + warm
-
-    times = []
-    for i in range(1, TRIALS + 1):
-        windows = make(i)
-        # force the host->device upload to finish before timing (the relay
-        # defers transfers; a dependent scalar fetch flushes them)
-        float(windows.astype(jnp.float32).mean())
-        t0 = time.perf_counter()
-        float(fwd_many(params, statics, windows))  # scalar fetch forces execution
-        times.append(time.perf_counter() - t0)
-
-    fps = N_WINDOWS / min(times)
+    t_bench = time.perf_counter()
+    fps, head_info = measure_serving(
+        model, params, dtype, SCALE, tag=f"bench_{conv_engine}_{impl}_x4"
+    )
     result = {
         "metric": "savsr_x4_720p_output_frames_per_sec_per_chip",
         "value": round(fps, 3),
         "unit": "frames/sec",
         "vs_baseline": round(fps / TARGET_FPS, 3),
     }
+
+    # ---- perf matrix: serving at asymmetric/fractional scales + the
+    # production training rate, so round-over-round regressions outside the
+    # headline metric are machine-diffable. Soft time budget: if the AOT /
+    # compile caches are cold, later entries are skipped rather than
+    # risking the driver's bench window (they repopulate on the next run).
+    budget_s = float(os.environ.get("SAVSR_BENCH_BUDGET_S", 2400))
+    extra = {"serving_first_result_s": head_info["first_result_s"],
+             "serving_aot_source": head_info["aot_source"]}
+    if os.environ.get("SAVSR_BENCH_MATRIX", "1") == "1":
+        for sc in [(1.5, 3.5), (3.05, 3.05)]:
+            if time.perf_counter() - t_bench > budget_s:
+                print(f"skipping scale {sc}: over budget", file=sys.stderr)
+                continue
+            try:
+                f, _ = measure_serving(
+                    model, params, dtype, sc,
+                    tag=f"bench_{conv_engine}_{impl}_x{sc[0]}_{sc[1]}",
+                )
+                extra[f"serving_fps_x{sc[0]}x{sc[1]}"] = round(f, 3)
+            except Exception as e:
+                print(f"scale {sc} failed: {e}", file=sys.stderr)
+        if time.perf_counter() - t_bench < budget_s:
+            try:
+                from savsr_tpu.metrics.runtime import measure_training_throughput
+
+                tr = measure_training_throughput()
+                extra["train_samples_per_s_pipelined"] = tr["pipelined_samples_per_s"]
+                extra["train_samples_per_s_synced"] = tr["synced_samples_per_s"]
+                print(f"training: {tr}", file=sys.stderr)
+            except Exception as e:
+                print(f"training measure failed: {e}", file=sys.stderr)
+    result["extra"] = extra
     print(json.dumps(result))
 
 

@@ -96,6 +96,91 @@ def count_flops(
     }
 
 
+def measure_training_throughput(
+    batch: int = 16,
+    size: int = 60,
+    scale: Tuple[float, float] = (2.0, 2.0),
+    steps: int = 6,
+    net_overrides: dict | None = None,
+    train_overrides: dict | None = None,
+) -> dict:
+    """Production training-step throughput (samples/s/chip) at the shipped
+    recipe configuration (train_SAVSR_Vimeo90K_asBI.yml: taps engine,
+    no-remat, bf16, accum=2), driven through ASVSRModel.feed_data ->
+    optimize_parameters exactly as savsr_tpu.train runs it. Reports both
+    the per-step-synced rate and the pipelined steady state (lazy log_dict:
+    one sync per block). Used by bench.py's perf matrix and
+    scripts/train_bench.py."""
+    from ..models import build_model
+
+    net = dict(
+        type="SAVSR", num_in_ch=3, num_feat=64, num_frame=7, slid_win=3,
+        fusion_win=5, interval=0, w1_num_block=4, w2_num_block=2,
+        n_resgroups=4, n_resblocks=8, osconv_impl="taps",
+        remat_train=False,
+    )
+    net.update(net_overrides or {})
+    train = {
+        "ema_decay": 0.999, "bf16": True, "accum_steps": 2,
+        "optim_g": {"type": "Adam", "lr": 2e-4, "weight_decay": 0,
+                    "betas": [0.9, 0.999]},
+        "scheduler": {"type": "CosineAnnealingRestartLR",
+                      "periods": [300000] * 4,
+                      "restart_weights": [1, 1, 1, 1], "eta_min": 1e-7},
+        "total_iter": 1200000, "warmup_iter": -1,
+        "pixel_opt": {"type": "CharbonnierLoss", "loss_weight": 1.0,
+                      "reduction": "mean"},
+    }
+    train.update(train_overrides or {})
+    opt = {
+        "name": "train_bench", "model_type": "ASVSRModel", "num_gpu": 1,
+        "is_train": True, "dist": False, "rank": 0, "world_size": 1,
+        "manual_seed": 0, "scale": scale, "network_g": net,
+        "path": {"pretrain_network_g": None, "strict_load_g": True},
+        "train": train, "datasets": {},
+    }
+    model = build_model(opt)
+
+    rng = np.random.default_rng(0)
+    H, W = round(size * scale[0]), round(size * scale[1])
+    data = {
+        "lq": rng.random((batch, 7, size, size, 3), dtype=np.float32),
+        "gt": rng.random((batch, H, W, 3), dtype=np.float32),
+        "scale": scale,
+    }
+    model.update_learning_rate(1)
+    model.feed_data(data)
+    t0 = time.perf_counter()
+    model.optimize_parameters(1)
+    loss0 = model.log_dict["l_total"]
+    compile_s = time.perf_counter() - t0
+
+    times = []
+    for i in range(2, steps + 2):
+        model.update_learning_rate(i)
+        t0 = time.perf_counter()
+        model.optimize_parameters(i)
+        _ = model.log_dict["l_total"]
+        times.append(time.perf_counter() - t0)
+    synced = batch / min(times)
+
+    _ = model.log_dict["l_total"]
+    k = max(steps, 8)
+    t0 = time.perf_counter()
+    for i in range(k):
+        model.update_learning_rate(100 + i)
+        model.optimize_parameters(100 + i)
+    _ = model.log_dict["l_total"]
+    pipelined = batch / ((time.perf_counter() - t0) / k)
+    return {
+        "compile_s": round(compile_s, 1),
+        "first_loss": round(float(loss0), 5),
+        "synced_samples_per_s": round(synced, 2),
+        "pipelined_samples_per_s": round(pipelined, 2),
+        "batch": batch, "size": size, "scale": scale,
+    }
+
+
 def profile_trace(fn: Callable, trace_dir: str, *args) -> None:
     """Capture a jax.profiler trace of one call (TensorBoard-viewable) —
     the observability analogue of the reference's fvcore/timer hooks."""

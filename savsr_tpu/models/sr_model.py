@@ -328,6 +328,29 @@ class SRModel(BaseModel):
             ))
         return self._stau_statics[2]
 
+    def _aot_call(self, cache_key, fn, args, tag):
+        """Executable-level disk persistence for an eval forward
+        (``val: aot_cache: true``; utils/aot.py): Mosaic custom-call
+        programs (the chw serving engine) skip JAX's persistent compile
+        cache, so a fresh eval process would otherwise pay the remote
+        serving compile per program. Entries are keyed by the lowered HLO
+        digest — any code/shape/flag change re-keys them. In-memory cache
+        is keyed by the concrete arg shapes (a Compiled is shape-special-
+        ized, unlike jit)."""
+        from ..utils.aot import compile_cached
+
+        shapes = tuple(
+            (tuple(a.shape), str(a.dtype))
+            for a in jax.tree_util.tree_leaves(args)
+            if hasattr(a, "shape")
+        )
+        key = (cache_key, shapes)
+        if key not in self._fwd_cache:
+            compiled, info = compile_cached(fn, args, tag=tag)
+            get_root_logger().info(f"eval AOT executable: {info}")
+            self._fwd_cache[key] = compiled
+        return self._fwd_cache[key](*args)
+
     def _forward_eval(self, params, lq, scale):
         val_opt = self.opt.get("val") or {}
         if val_opt.get("bucket_eval") and hasattr(self.net_g, "cfg"):
@@ -335,9 +358,17 @@ class SRModel(BaseModel):
         statics = self._stau_statics_cached(
             params, (int(lq.shape[2]), int(lq.shape[3])), scale, lq.dtype
         )
-        key = ("fwd", statics is not None)
+        use_statics = statics is not None
+        if val_opt.get("aot_cache"):
+            def fwd_c(params, lq, statics):
+                kw = {"stau_statics": statics} if use_statics else {}
+                out, _ = self.net_g.apply(params, lq, scale, train=False, **kw)
+                return out
+
+            return self._aot_call(("fwd_aot", scale, use_statics), fwd_c,
+                                  (params, lq, statics), tag="eval_fwd")
+        key = ("fwd", use_statics)
         if key not in self._fwd_cache:
-            use_statics = statics is not None
 
             @functools.partial(jax.jit, static_argnames=("scale",))
             def fwd(params, lq, scale, statics):
@@ -389,13 +420,17 @@ class SRModel(BaseModel):
             params, (h0, w0), scale, lq.dtype, bucket=ops, bucket_key=ops_key
         )
         jit_key = ("bucket", lrb, hrb, lq.shape[0], lq.shape[1])
-        if jit_key not in self._fwd_cache:
-            self._fwd_cache[jit_key] = jax.jit(
-                lambda p, x, ops, st: savsr_apply_bucketed(
-                    p, x, ops, self.net_g.cfg, stau_statics=st
-                )
-            )
         canvas = jnp.asarray(pad_clip_to_bucket(np.asarray(lq), lrb))
+        bucket_fwd = lambda p, x, ops, st: savsr_apply_bucketed(  # noqa: E731
+            p, x, ops, self.net_g.cfg, stau_statics=st
+        )
+        if val_opt.get("aot_cache"):
+            out = self._aot_call(jit_key, bucket_fwd,
+                                 (params, canvas, ops, statics),
+                                 tag="eval_bucket")
+            return out[:, :H, :W]
+        if jit_key not in self._fwd_cache:
+            self._fwd_cache[jit_key] = jax.jit(bucket_fwd)
         out = self._fwd_cache[jit_key](params, canvas, ops, statics)
         return out[:, :H, :W]
 

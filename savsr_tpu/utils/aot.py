@@ -1,0 +1,116 @@
+"""Ahead-of-time persistence for compiled serving executables.
+
+The pure-XLA training step participates in JAX's persistent compilation
+cache, but programs containing Mosaic (Pallas) custom-call kernels are not
+written to it — every fresh serving process paid the full remote compile
+(~9.5 min for the CHW-engine serving program through the TPU relay). This
+module closes that gap at the executable level: the compiled program is
+pickled via ``jax.experimental.serialize_executable`` (PJRT executable
+serialization — the Mosaic kernel payloads are embedded in the executable
+and survive the round trip) and reloaded by fresh processes in
+milliseconds.
+
+Cache key = sha256 of the lowered StableHLO text + device kind + JAX
+version: any change to the model code, shapes, dtypes, engine flags, or
+environment re-keys the entry automatically, so a stale executable can
+never be served. Entries live under ``<repo>/.savsr_aot/`` (gitignored).
+
+Counterpart of the reference's load-checkpoint-and-serve intent
+(lbasicsr/test.py:11-47): a fresh process reaches its first frame in
+seconds instead of paying a compile.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import pickle
+import time
+from typing import Any, Callable, Optional
+
+import jax
+
+from .logger import get_root_logger
+
+AOT_DIR_ENV = "SAVSR_AOT_DIR"
+
+
+def default_aot_dir() -> str:
+    return os.environ.get(
+        AOT_DIR_ENV,
+        os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))), ".savsr_aot"),
+    )
+
+
+def _entry_key(lowered: jax.stages.Lowered) -> str:
+    h = hashlib.sha256()
+    h.update(jax.__version__.encode())
+    dev = jax.devices()[0]
+    h.update(getattr(dev, "device_kind", dev.platform).encode())
+    h.update(lowered.as_text().encode())
+    return h.hexdigest()[:20]
+
+
+def compile_cached(
+    fn: Callable,
+    args: tuple,
+    tag: str = "serving",
+    aot_dir: Optional[str] = None,
+    static_argnames: tuple = (),
+) -> tuple[Any, dict]:
+    """jit-compile ``fn(*args)`` with executable-level disk persistence.
+
+    Returns ``(compiled, info)`` where compiled is a ``jax.stages.Compiled``
+    callable and info records what happened: ``{"source": "aot-cache" |
+    "compiled", "key": ..., "lower_s": ..., "load_s" | "compile_s": ...,
+    "path": ...}``. On any load failure (version skew, corrupt file) the
+    entry is recompiled and overwritten — the cache can only ever be a
+    speedup, never a correctness hazard.
+    """
+    from jax.experimental import serialize_executable as se
+
+    logger = get_root_logger()
+    aot_dir = aot_dir or default_aot_dir()
+
+    t0 = time.perf_counter()
+    lowered = jax.jit(fn, static_argnames=static_argnames).lower(*args)
+    lower_s = time.perf_counter() - t0
+    key = _entry_key(lowered)
+    path = os.path.join(aot_dir, f"{tag}_{key}.jaxexe")
+    info = {"key": key, "path": path, "lower_s": round(lower_s, 2)}
+
+    if os.path.isfile(path):
+        try:
+            t0 = time.perf_counter()
+            with open(path, "rb") as f:
+                payload, in_tree, out_tree, dev_ids = pickle.load(f)
+            by_id = {d.id: d for d in jax.devices()}
+            exec_devices = [by_id[i] for i in dev_ids]
+            compiled = se.deserialize_and_load(
+                payload, in_tree, out_tree, execution_devices=exec_devices
+            )
+            info.update(source="aot-cache",
+                        load_s=round(time.perf_counter() - t0, 2))
+            return compiled, info
+        except Exception as e:  # stale/corrupt/incompatible: recompile
+            logger.warning(f"AOT entry {path} failed to load ({e}); recompiling.")
+
+    t0 = time.perf_counter()
+    compiled = lowered.compile()
+    info.update(source="compiled", compile_s=round(time.perf_counter() - t0, 2))
+    try:
+        payload, in_tree, out_tree = se.serialize(compiled)
+        # the devices the executable was compiled for: a deserializing
+        # process must load onto the same device set (NOT all devices —
+        # on a multi-device pool the default would mismatch shard counts)
+        dev_ids = [d.id for d in compiled._executable.xla_executable.local_devices()]
+        os.makedirs(aot_dir, exist_ok=True)
+        tmp = f"{path}.tmp.{os.getpid()}"
+        with open(tmp, "wb") as f:
+            pickle.dump((payload, in_tree, out_tree, dev_ids), f)
+        os.replace(tmp, path)
+        info["saved_bytes"] = os.path.getsize(path)
+    except Exception as e:  # non-serializable backend: still return compiled
+        logger.warning(f"AOT serialize failed ({e}); executable not persisted.")
+    return compiled, info
