@@ -118,6 +118,7 @@ val:
   save_img: false
   bucket_eval: true
   bucket_auto: true
+  aot_cache: true
   suffix: ~
   metrics:
     psnr_y:
