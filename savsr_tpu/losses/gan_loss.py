@@ -63,6 +63,51 @@ class MultiScaleGANLoss(GANLoss):
         return super().__call__(x, target_is_real, is_disc)
 
 
+def g_path_regularize(gen_fn, latents, mean_path_length, key=None, noise=None,
+                      decay: float = 0.01):
+    """StyleGAN2 path-length regularization (reference:
+    lbasicsr/losses/gan_loss.py:160-169), as a functional transform.
+
+    The torch original materializes ``fake_img`` then autograds
+    ``(fake_img * noise).sum()`` back to ``latents``; here the same
+    quantity is one ``jax.vjp`` pull-back of the noise cotangent through
+    ``gen_fn`` (linearization at ``latents`` — no separate graph retention
+    needed, and it stays differentiable for the second-order generator
+    update).
+
+    Args:
+        gen_fn: ``latents [B, n_latent, D] -> fake_img [B, C, H, W]``
+            (close it over the generator params).
+        latents: the latent batch the path length is measured at.
+        mean_path_length: running mean (scalar) carried by the caller.
+        key: PRNG key used to draw the image-space noise (ignored when
+            ``noise`` is given explicitly).
+        noise: optional explicit noise tensor (testing / determinism).
+        decay: running-mean decay (reference default 0.01).
+
+    Returns:
+        (path_penalty, mean(path_lengths) [stopped], new_mean_path_length
+        [stopped]) — mirroring the reference's three return values.
+    """
+    import math
+
+    fake_img, pullback = jax.vjp(gen_fn, latents)
+    if noise is None:
+        if key is None:
+            raise ValueError("g_path_regularize needs `key` or explicit `noise`")
+        noise = jax.random.normal(key, fake_img.shape, fake_img.dtype)
+    noise = noise / math.sqrt(fake_img.shape[2] * fake_img.shape[3])
+    (grad,) = pullback(noise)
+    path_lengths = jnp.sqrt((grad ** 2).sum(2).mean(1))
+    path_mean = mean_path_length + decay * (path_lengths.mean() - mean_path_length)
+    path_penalty = ((path_lengths - path_mean) ** 2).mean()
+    return (
+        path_penalty,
+        jax.lax.stop_gradient(path_lengths.mean()),
+        jax.lax.stop_gradient(path_mean),
+    )
+
+
 def r1_penalty(real_grad, real_img_shape=None):
     """R1 gradient penalty given d(real_pred)/d(real_img)."""
     return (real_grad.reshape(real_grad.shape[0], -1) ** 2).sum(1).mean()
