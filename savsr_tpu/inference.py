@@ -1,0 +1,210 @@
+"""One-command SAVSR video upscaler: LR frames in -> SR frames out.
+
+The missing user surface between the eval pipeline (``savsr_tpu.test``,
+which needs GT for metrics) and the serving bench: point it at a folder
+of frames (or a folder of clip subfolders), pick a scale — integer,
+fractional, or asymmetric — and it writes upscaled PNGs. Counterpart of
+the load-checkpoint-and-serve intent of the reference's test pipeline
+(/root/reference/lbasicsr/test.py:11-47) without requiring GT or YAML.
+
+Serving stack: CHW Pallas conv engine, frame-invariant STAU statics
+computed once per (shape, scale), executable-level AOT disk cache
+(utils/aot.py — a fresh process reaches its first frame in seconds), and
+one compiled program per clip shape. Precision tiers:
+
+  bf16   (default) bf16 params/activations — the bench serving config,
+         ~57 dB vs the f32 reference output on golden weights
+  fast   f32 carries, native-bf16 MXU multiplies (~0.17 dB worst-case
+         composed delta vs strict on the 42-block sweep; preview tier)
+  strict f32 with float32 matmul precision — reference-parity outputs
+
+Usage:
+  python -m savsr_tpu.inference -i lr_frames/ -o out/ -s 4 -w savsr.npz
+  python -m savsr_tpu.inference -i clips_root/ -o out/ -s 1.5 3.5 \
+      -w savsr_best.pth --tier strict
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import numpy as np
+
+from .archs.savsr_arch import SAVSR
+from .data.data_util import generate_frame_indices, paths_from_folder, read_img_seq
+from .utils.img_util import array2img, imwrite
+from .utils.logger import get_root_logger
+
+
+def flagship_net_kwargs() -> dict:
+    """The published SAVSR configuration (reference
+    options/train/SAVSR/train_SAVSR_Vimeo90K_asBI.yml:98-110)."""
+    return dict(
+        num_in_ch=3, num_feat=64, num_frame=7, slid_win=3, fusion_win=5,
+        interval=0, w1_num_block=4, w2_num_block=2, n_resgroups=4,
+        n_resblocks=8,
+    )
+
+
+def build_serving_model(tier: str, net_kwargs: dict | None = None) -> SAVSR:
+    kwargs = flagship_net_kwargs()
+    kwargs.update(net_kwargs or {})
+    kwargs.setdefault("conv_engine", "chw")
+    kwargs["matmul_precision"] = "float32" if tier == "strict" else "default"
+    return SAVSR(**kwargs)
+
+
+def load_params(model: SAVSR, path: str, tier: str, param_key: str = "params"):
+    """Checkpoint (.npz native / .pth torch, via the importer) -> device
+    params at the tier's dtype, with strict key checking."""
+    import jax.numpy as jnp
+
+    from .models.base_model import BaseModel
+
+    loaded = BaseModel.load_network(None, path, param_key=param_key)
+    init = model.init(__import__("jax").random.PRNGKey(0))
+    missing = set(init) - set(loaded)
+    extra = set(loaded) - set(init)
+    if missing or extra:
+        raise KeyError(
+            f"checkpoint keys do not match the network: missing {sorted(missing)[:5]}"
+            f"{'...' if len(missing) > 5 else ''}, extra {sorted(extra)[:5]}"
+            f"{'...' if len(extra) > 5 else ''}"
+        )
+    dtype = jnp.bfloat16 if tier == "bf16" else jnp.float32
+    params = {}
+    for k, v in loaded.items():
+        arr = jnp.asarray(v)
+        params[k] = arr.astype(dtype) if arr.dtype == jnp.float32 else arr
+    return params
+
+
+def upscale_clip(model, params, frames: np.ndarray, scale, tier: str,
+                 num_frame: int, padding: str, aot: bool, tag: str):
+    """frames [T, H, W, C] float32 RGB in [0,1] -> list of [Hs, Ws, C] SR
+    frames (numpy float32 RGB). One compiled program per (shape, scale)."""
+    import jax
+    import jax.numpy as jnp
+
+    from .utils.aot import compile_cached
+
+    logger = get_root_logger()
+    t_total, h, w = frames.shape[0], frames.shape[1], frames.shape[2]
+    dtype = jnp.bfloat16 if tier == "bf16" else jnp.float32
+
+    statics = jax.jit(
+        model.stau_statics, static_argnames=("lq_hw", "scale", "dtype")
+    )(params, lq_hw=(h, w), scale=scale, dtype=dtype)
+
+    def fwd(params, statics, window):
+        sr, _ = model.apply(params, window, scale, train=False,
+                            stau_statics=statics)
+        return sr
+
+    window0 = jnp.zeros((1, num_frame, h, w, 3), dtype)
+    if aot:
+        fwd_c, info = compile_cached(fwd, (params, statics, window0),
+                                     tag=f"infer_{tag}")
+        logger.info(f"serving executable: {info['source']} "
+                    f"({info.get('load_s', info.get('compile_s', 0))} s)")
+    else:
+        fwd_c = jax.jit(fwd)
+
+    frames_dev = jnp.asarray(frames, dtype)
+    outs = []
+    for idx in range(t_total):
+        sel = generate_frame_indices(idx, t_total, num_frame, padding=padding)
+        window = frames_dev[jnp.asarray(sel)][None]
+        sr = fwd_c(params, statics, window)
+        outs.append(np.asarray(sr[0], dtype=np.float32))
+    return outs
+
+
+def discover_clips(input_dir: str) -> dict:
+    """{clip_name: [frame paths]} — subfolders are clips; a flat folder of
+    frames is one clip named after the folder."""
+    subdirs = sorted(
+        d for d in os.listdir(input_dir)
+        if os.path.isdir(os.path.join(input_dir, d))
+    )
+    if subdirs:
+        return {d: paths_from_folder(os.path.join(input_dir, d)) for d in subdirs}
+    name = os.path.basename(os.path.normpath(input_dir)) or "clip"
+    return {name: paths_from_folder(input_dir)}
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(
+        description=__doc__, formatter_class=argparse.RawDescriptionHelpFormatter
+    )
+    ap.add_argument("-i", "--input", required=True,
+                    help="folder of LR frames, or folder of clip subfolders")
+    ap.add_argument("-o", "--output", required=True, help="output folder")
+    ap.add_argument("-s", "--scale", type=float, nargs="+", required=True,
+                    metavar="S", help="upscale factor: one value or H W")
+    ap.add_argument("-w", "--weights", required=True,
+                    help="checkpoint (.npz native or .pth torch)")
+    ap.add_argument("--param_key", default="params",
+                    help="checkpoint key (params | params_ema)")
+    ap.add_argument("--tier", choices=("bf16", "fast", "strict"), default="bf16")
+    ap.add_argument("--num_frame", type=int, default=7)
+    ap.add_argument("--padding", default="reflection",
+                    choices=("replicate", "reflection", "reflection_circle", "circle"))
+    ap.add_argument("--no_aot", action="store_true",
+                    help="skip the executable disk cache")
+    ap.add_argument("--opt", default=None,
+                    help="options YAML whose network_g block overrides the "
+                         "flagship architecture (type/strict-load keys ignored)")
+    args = ap.parse_args(argv)
+
+    if len(args.scale) > 2:
+        ap.error("--scale takes one value or two (H W)")
+    scale = (args.scale[0], args.scale[-1])
+
+    net_kwargs = {}
+    if args.opt:
+        from .utils.options import yaml_load
+
+        opt = yaml_load(args.opt)
+        net_kwargs = {
+            k: v for k, v in (opt.get("network_g") or {}).items()
+            if k not in ("type", "strict_load_g") and v is not None
+        }
+
+    logger = get_root_logger()
+    model = build_serving_model(args.tier, net_kwargs)
+    params = load_params(model, args.weights, args.tier, args.param_key)
+
+    clips = discover_clips(args.input)
+    n_frames = sum(len(v) for v in clips.values())
+    logger.info(f"{len(clips)} clip(s), {n_frames} frames -> x{scale[0]}x{scale[1]} "
+                f"[tier={args.tier}]")
+
+    t0 = time.perf_counter()
+    done = 0
+    for clip, paths in clips.items():
+        if not paths:
+            logger.warning(f"{clip}: no frames found, skipping")
+            continue
+        frames = read_img_seq(paths)
+        outs = upscale_clip(
+            model, params, frames, scale, args.tier, args.num_frame,
+            args.padding, aot=not args.no_aot,
+            tag=f"{args.tier}_x{scale[0]}_{scale[1]}",
+        )
+        out_dir = os.path.join(args.output, clip) if len(clips) > 1 else args.output
+        for p, sr in zip(paths, outs):
+            name = os.path.splitext(os.path.basename(p))[0]
+            imwrite(array2img(sr), os.path.join(out_dir, f"{name}.png"))
+        done += len(outs)
+        logger.info(f"{clip}: {len(outs)} frames written to {out_dir}")
+    wall = time.perf_counter() - t0
+    logger.info(f"done: {done} frames in {wall:.1f} s ({done / max(wall, 1e-9):.2f} fps "
+                f"incl. IO)")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
