@@ -112,6 +112,14 @@ def _osconv_kernel(
                 agg[p, :, :cout_used],
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
+                # pin the contract precision to the operand dtype: the
+                # training forward runs under default_matmul_precision
+                # ('float32'), whose fp32 contract tag Mosaic rejects on
+                # bf16 operands ("Bad lhs type"); bf16 operands already
+                # accumulate in f32 via preferred_element_type
+                precision=(jax.lax.Precision.HIGHEST
+                           if x_slab.dtype == jnp.float32
+                           else jax.lax.Precision.DEFAULT),
             )
     out_ref[0] = acc.reshape(tile_h, w_out, cout_used).astype(out_ref.dtype)
 
@@ -187,11 +195,15 @@ def osconv_pallas_agg(x: jnp.ndarray, agg_weight: jnp.ndarray, padding: int = 1)
         out_shape=jax.ShapeDtypeStruct((b, n_rows * tile_h, w_eff, cout_round), x.dtype),
         scratch_shapes=[
             pltpu.VMEM((2, kw, tile_h + kh - 1, w_eff, cin), x.dtype),
-            pltpu.VMEM((P, cin, cout), jnp.float32),
+            # weights at the input dtype: the MXU dot must be same-typed on
+            # both sides (Mosaic rejects bf16 lhs x f32 rhs), and bf16
+            # weights match the other engines' bf16-compute numerics; the
+            # accumulator stays f32 via preferred_element_type
+            pltpu.VMEM((P, cin, cout), x.dtype),
             pltpu.SemaphoreType.DMA((3,)),
         ],
         interpret=_interpret(),
-    )(x_shifts, agg_weight.reshape(b, P, cin, cout).astype(jnp.float32))
+    )(x_shifts, agg_weight.reshape(b, P, cin, cout).astype(x.dtype))
     return out[:, :ho, :wo, :cout_orig]
 
 
@@ -270,6 +282,10 @@ def _dagg_kernel(
                 g_flat,
                 dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
+                # see the forward kernel: dtype-pinned contract precision
+                precision=(jax.lax.Precision.HIGHEST
+                           if x_slab.dtype == jnp.float32
+                           else jax.lax.Precision.DEFAULT),
             )
 
 
