@@ -122,6 +122,7 @@ def measure_training_throughput(
     net.update(net_overrides or {})
     train = {
         "ema_decay": 0.999, "bf16": True, "accum_steps": 2,
+        "aot_cache": True,  # persisted training executable (utils/aot.py)
         "optim_g": {"type": "Adam", "lr": 2e-4, "weight_decay": 0,
                     "betas": [0.9, 0.999]},
         "scheduler": {"type": "CosineAnnealingRestartLR",

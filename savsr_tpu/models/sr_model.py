@@ -176,12 +176,8 @@ class SRModel(BaseModel):
         losses["l_total"] = total
         return total, (losses, stats_updates, output)
 
-    @functools.partial(
-        jax.jit, static_argnames=("self", "scale"),
-        donate_argnames=("trainable", "stats", "ema", "opt_state"),
-    )
-    def _train_step(self, trainable, stats, ema, opt_state, lq, gt, lr, scale,
-                    grad_factors=None):
+    def _train_step_impl(self, trainable, stats, ema, opt_state, lq, gt, lr,
+                         scale, grad_factors=None):
         accum = int(self.opt.get("train", {}).get("accum_steps", 1))
         if accum > 1:
             if lq.shape[0] % accum != 0:
@@ -282,6 +278,13 @@ class SRModel(BaseModel):
             }
         return trainable, stats, ema, opt_state, losses
 
+    # the jitted step (self/scale static, state buffers donated); the impl
+    # stays addressable for the AOT-persistence path below
+    _train_step = functools.partial(
+        jax.jit, static_argnames=("self", "scale"),
+        donate_argnames=("trainable", "stats", "ema", "opt_state"),
+    )(_train_step_impl)
+
     def optimize_parameters(self, current_iter: int) -> None:
         lr = getattr(self, "_current_lrs", [self.base_lr])[0]
         trainable, stats = split_params(self.params)
@@ -290,10 +293,32 @@ class SRModel(BaseModel):
         grad_factors = getattr(self, "_flow_factors", None)
         if grad_factors is not None:
             grad_factors = {k: jnp.float32(v) for k, v in grad_factors.items()}
-        trainable, stats, ema, self.opt_state, losses = self._train_step(
-            trainable, stats, ema, self.opt_state, self.lq, self.gt,
-            jnp.float32(lr), scale, grad_factors,
-        )
+        if self.opt.get("train", {}).get("aot_cache", False):
+            # executable-level disk persistence for the training step
+            # (train: aot_cache: true): the pure-XLA step participates in
+            # JAX's persistent compile cache, but through the TPU relay even
+            # a cache HIT costs minutes for the big training program — the
+            # pickled PJRT executable loads in seconds. Donation survives
+            # serialization (input-output aliasing is part of the HLO).
+            def step_fn(trainable, stats, ema, opt_state, lq, gt, lr,
+                        grad_factors):
+                return self._train_step_impl(
+                    trainable, stats, ema, opt_state, lq, gt, lr, scale,
+                    grad_factors)
+
+            trainable, stats, ema, self.opt_state, losses = self._aot_call(
+                ("train_aot", scale, ema is None, grad_factors is None),
+                step_fn,
+                (trainable, stats, ema, self.opt_state, self.lq, self.gt,
+                 jnp.float32(lr), grad_factors),
+                tag="train_step",
+                donate_argnames=("trainable", "stats", "ema", "opt_state"),
+            )
+        else:
+            trainable, stats, ema, self.opt_state, losses = self._train_step(
+                trainable, stats, ema, self.opt_state, self.lq, self.gt,
+                jnp.float32(lr), scale, grad_factors,
+            )
         self.params = {**trainable, **stats}
         if ema is not None:
             self.params_ema = ema
@@ -328,7 +353,7 @@ class SRModel(BaseModel):
             ))
         return self._stau_statics[2]
 
-    def _aot_call(self, cache_key, fn, args, tag):
+    def _aot_call(self, cache_key, fn, args, tag, donate_argnames=()):
         """Executable-level disk persistence for an eval forward
         (``val: aot_cache: true``; utils/aot.py): Mosaic custom-call
         programs (the chw serving engine) skip JAX's persistent compile
@@ -346,7 +371,8 @@ class SRModel(BaseModel):
         )
         key = (cache_key, shapes)
         if key not in self._fwd_cache:
-            compiled, info = compile_cached(fn, args, tag=tag)
+            compiled, info = compile_cached(
+                fn, args, tag=tag, donate_argnames=donate_argnames)
             get_root_logger().info(f"eval AOT executable: {info}")
             self._fwd_cache[key] = compiled
         return self._fwd_cache[key](*args)

@@ -58,6 +58,7 @@ def compile_cached(
     tag: str = "serving",
     aot_dir: Optional[str] = None,
     static_argnames: tuple = (),
+    donate_argnames: tuple = (),
 ) -> tuple[Any, dict]:
     """jit-compile ``fn(*args)`` with executable-level disk persistence.
 
@@ -74,7 +75,9 @@ def compile_cached(
     aot_dir = aot_dir or default_aot_dir()
 
     t0 = time.perf_counter()
-    lowered = jax.jit(fn, static_argnames=static_argnames).lower(*args)
+    lowered = jax.jit(
+        fn, static_argnames=static_argnames, donate_argnames=donate_argnames
+    ).lower(*args)
     lower_s = time.perf_counter() - t0
     key = _entry_key(lowered)
     path = os.path.join(aot_dir, f"{tag}_{key}.jaxexe")

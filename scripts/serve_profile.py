@@ -38,11 +38,19 @@ def main():
     windows = jnp.asarray(
         rng.random((N, 1, 7, H, W, 3), dtype=np.float32), jnp.bfloat16
     )
+    # frame-invariant STAU coordinate-head outputs, hoisted like bench.py
+    # (SAVSR_PROF_STATICS=0 restores the inline head for comparison traces)
+    statics = None
+    if os.environ.get("SAVSR_PROF_STATICS", "1") == "1":
+        statics = jax.jit(
+            model.stau_statics, static_argnames=("lq_hw", "scale", "dtype")
+        )(params, lq_hw=(H, W), scale=SCALE, dtype=jnp.bfloat16)
 
     @jax.jit
     def fwd_many(params, windows):
         def body(acc, x):
-            out, _ = model.apply(params, x, SCALE, train=False)
+            out, _ = model.apply(params, x, SCALE, train=False,
+                                 stau_statics=statics)
             return acc + out.astype(jnp.float32).mean(), None
 
         acc, _ = jax.lax.scan(body, jnp.float32(0.0), windows)

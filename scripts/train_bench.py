@@ -8,6 +8,7 @@ fetches the loss scalar (the axon relay elides unconsumed dispatches).
 Knobs (env):
   SAVSR_TB_BATCH=16  SAVSR_TB_SIZE=60  SAVSR_TB_STEPS=8  SAVSR_TB_SCALE=2
   SAVSR_TB_BF16=1    SAVSR_TB_REMAT=full|dots|none|stau  SAVSR_TB_WIDTH=64
+  SAVSR_TB_AOT=1 (train: aot_cache — persisted training executable)
 """
 
 from __future__ import annotations
@@ -55,6 +56,7 @@ def main():
         "train": {
             "ema_decay": 0.999, "bf16": bf16, "accum_steps": accum,
             "accum_impl": accum_impl,
+            "aot_cache": os.environ.get("SAVSR_TB_AOT", "0") == "1",
             "optim_g": {"type": "Adam", "lr": 2e-4, "weight_decay": 0,
                         "betas": [0.9, 0.999]},
             "scheduler": {"type": "CosineAnnealingRestartLR",
