@@ -132,11 +132,13 @@ def main():
     precision = os.environ.get("SAVSR_BENCH_PRECISION", "default")
     impl = os.environ.get("SAVSR_BENCH_OSCONV", "grouped")
     conv_engine = os.environ.get("SAVSR_BENCH_CONV", "chw")
+    conv_precision = os.environ.get("SAVSR_BENCH_CONV_PRECISION", "native")
     use_bf16 = os.environ.get("SAVSR_BENCH_DTYPE", "bf16") == "bf16"
     model = SAVSR(
         num_in_ch=3, num_feat=64, num_frame=7, slid_win=3, fusion_win=5,
         interval=0, w1_num_block=4, w2_num_block=2, n_resgroups=4, n_resblocks=8,
         osconv_impl=impl, matmul_precision=precision, conv_engine=conv_engine,
+        conv_precision=conv_precision,
     )
     params = model.init(jax.random.PRNGKey(0))
     dtype = jnp.bfloat16 if use_bf16 else jnp.float32

@@ -245,7 +245,8 @@ def _apply_bucketed_inner(params, x, ops, cfg, stau_statics=None):
     from .chw_engine import trunk_apply_chw, window_l1_apply_chw
 
     ctx = Ctx(params, train=False, engines="eval", conv_engine="chw",
-              bucket=ops, stau_statics=stau_statics)
+              bucket=ops, stau_statics=stau_statics,
+              split_conv=cfg.conv_precision == "split")
     b, t, hb, wb, _ = x.shape
     dummy_scale = (1.0, 1.0)  # every scale-dependent value rides in ops
 

@@ -48,6 +48,66 @@ def _max_cin(dtype) -> int:
     return 192 if jnp.dtype(dtype).itemsize <= 2 else 128
 
 
+# ---------------------------------------------------------------------------
+# split-precision convs (Ctx.split_conv / SAVSRConfig.conv_precision="split")
+#
+# f32 carries, but each conv contracts bf16 hi/lo halves: with
+# x = hi + lo (hi = bf16(x), lo = bf16(x - hi)) and likewise for W,
+#   W @ x  ~=  Whi@Xhi + Whi@Xlo + Wlo@Xhi        (the lo*lo term is
+# ~2^-16 relative and is dropped — the classic 3-pass bf16 f32-emulation).
+# Stacking channels as X' = [Xhi; Xlo; Xhi] and W' = [Whi, Whi, Wlo] turns
+# the three passes into ONE bf16 contraction over 3*Cin channels, so the
+# existing kernels run unchanged (f32 accumulate is already their epilogue
+# convention); outputs come back f32 via out_dtype. Each original
+# <=64-channel chunk becomes exactly the measured-optimal 192-channel bf16
+# slab shape. Accuracy: ~2^-16 relative per conv vs bf16's ~2^-8 and
+# f32's ~2^-24 — measured full-model deviation in tests/PERF.md.
+# ---------------------------------------------------------------------------
+
+_SPLIT_CIN = 64  # pre-split chunk width: 3*64 = 192-channel bf16 slabs
+
+
+def _is_split(ctx, x) -> bool:
+    return getattr(ctx, "split_conv", False) and x.dtype == jnp.float32
+
+
+def _split_x(x: jnp.ndarray) -> jnp.ndarray:
+    """f32 [B, C, S] -> bf16 [B, 3C, S] stacked [hi, lo, hi]."""
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return jnp.concatenate([hi, lo, hi], axis=1)
+
+
+def _split_w(w: jnp.ndarray) -> jnp.ndarray:
+    """f32 [..., Ci, Co] -> f32 [..., 3Ci, Co] stacked [Whi, Whi, Wlo];
+    values are bf16-representable so the pack-time bf16 cast is exact."""
+    hi = w.astype(jnp.bfloat16).astype(jnp.float32)
+    lo = w - hi
+    return jnp.concatenate([hi, hi, lo], axis=-2)
+
+
+def _split_chunks(wt: jnp.ndarray, parts: List[jnp.ndarray], b: int):
+    """(weight over concat(parts), parts) -> per-chunk split inputs +
+    split-packed bf16 weights, each chunk <= _SPLIT_CIN original channels
+    (parts wider than the chunk limit are sliced)."""
+    xs, w3s = [], []
+    off = 0
+    for p in parts:
+        c = p.shape[1]
+        for lo_c in range(0, c, _SPLIT_CIN):
+            hi_c = min(lo_c + _SPLIT_CIN, c)
+            chunk = p[:, lo_c:hi_c] if (lo_c, hi_c) != (0, c) else p
+            wt_c = _split_w(wt[..., off + lo_c : off + hi_c, :])
+            xs.append(_split_x(chunk))
+            if wt.ndim == 5:
+                w3s.append(_per_batch(pack_w3_batched(wt_c), b)
+                           .astype(jnp.bfloat16))
+            else:
+                w3s.append(pack_w3(wt_c).astype(jnp.bfloat16))
+        off += c
+    return xs, w3s
+
+
 def _group_parts(parts: List[jnp.ndarray], max_cin: int = None):
     """Greedily group channel parts into chunks of total C <= max_cin.
     Returns (chunked inputs, per-chunk channel offsets/sizes)."""
@@ -120,10 +180,17 @@ def _per_batch(arr, b: int):
 def conv3_cat(ctx, name, parts: List[jnp.ndarray], h: int, w: int,
               lrelu=LRELU, residual=None) -> jnp.ndarray:
     """conv3x3(concat(parts)) with automatic Cin chunking."""
-    xs, spans = _group_parts(parts)
-    dtype = parts[0].dtype
     b = parts[0].shape[0]
     wt = _wparam(ctx, name)
+    if _is_split(ctx, parts[0]):
+        xs, w3s = _split_chunks(wt, parts, b)
+        cout = wt.shape[-1]
+        return conv3x3_chw_parts(xs, w3s, _bias_col(ctx, name, cout, b),
+                                 _ones(cout), residual, h=h, w=w,
+                                 lrelu=lrelu, mask=_mask(ctx),
+                                 out_dtype=jnp.float32)
+    xs, spans = _group_parts(parts)
+    dtype = parts[0].dtype
     if wt.ndim == 5:
         w3s = [_per_batch(pack_w3_batched(wt[..., off : off + c, :]), b)
                .astype(dtype) for off, c in spans]
@@ -176,6 +243,13 @@ def conv3(ctx, name, x, h: int, w: int, lrelu=LRELU, residual=None,
         pad = [(0, 0)] * wt.ndim
         pad[-2] = (0, x.shape[1] - ci)
         wt = jnp.pad(wt, pad)
+    if _is_split(ctx, x):
+        xs, w3s = _split_chunks(wt, [x], b)
+        cout = wt.shape[-1]
+        return conv3x3_chw_parts(xs, w3s, _bias_col(ctx, name, cout, b),
+                                 _ones(cout), residual, h=h, w=w,
+                                 lrelu=lrelu, pre_add=pre_add,
+                                 mask=_mask(ctx), out_dtype=jnp.float32)
     if wt.ndim == 5:
         w3 = _per_batch(pack_w3_batched(wt), b).astype(x.dtype)
         cout = w3.shape[1] // 3
@@ -191,6 +265,13 @@ def conv1(ctx, name, x, h: int, w: int, lrelu=LRELU, residual=None,
           pre_add=None) -> jnp.ndarray:
     b = x.shape[0]
     wt = _wparam(ctx, name)
+    out_dtype = None
+    if _is_split(ctx, x):
+        # 1x1 convs need no Cin chunking: the [3Ci, block] VMEM block stays
+        # well under budget even at the widest (320 -> 960) merge input
+        x = _split_x(x)
+        wt = _split_w(wt)
+        out_dtype = jnp.float32
     if wt.ndim == 5:  # [P,1,1,I,O] -> per-sample [B,O,I]
         w1 = _per_batch(jnp.transpose(wt[:, 0, 0], (0, 2, 1)), b).astype(x.dtype)
         cout = w1.shape[1]
@@ -199,7 +280,7 @@ def conv1(ctx, name, x, h: int, w: int, lrelu=LRELU, residual=None,
         cout = w1.shape[0]
     return conv1x1_chw(x, w1, _bias_col(ctx, name, cout, b), _ones(cout),
                        pre_add, residual, h=h, w=w, lrelu=lrelu,
-                       mask=_mask(ctx))
+                       mask=_mask(ctx), out_dtype=out_dtype)
 
 
 def osconv_agg(ctx, prefix: str, parts: List[jnp.ndarray], scale, h: int,
@@ -252,6 +333,12 @@ def osconv_chw(ctx, prefix, parts: List[jnp.ndarray], scale, h: int,
     else:
         agg = osconv_agg(ctx, prefix, parts, scale, h, w)
     cout = agg.shape[-1]
+    if _is_split(ctx, parts[0]):
+        # agg's batch dim already matches the (possibly chain-stacked) parts
+        xs, w3s = _split_chunks(agg, parts, parts[0].shape[0])
+        return conv3x3_chw_parts(xs, w3s, jnp.zeros((cout, 1), jnp.float32),
+                                 _ones(cout), None, h=h, w=w, lrelu=lrelu,
+                                 mask=_mask(ctx), out_dtype=jnp.float32)
     xs, spans = _group_parts(parts)
     w3s = [pack_w3_batched(agg[:, :, :, off : off + c, :]).astype(dtype)
            for off, c in spans]

@@ -906,7 +906,8 @@ def stack_prefix_params(params: Params, prefixes: List[str]) -> Params:
 
 def _sub_ctx(ctx: Ctx, params: Params) -> Ctx:
     return Ctx(params, train=ctx.train, engines=ctx.engines,
-               conv_engine=ctx.conv_engine, bucket=ctx.bucket)
+               conv_engine=ctx.conv_engine, bucket=ctx.bucket,
+               split_conv=ctx.split_conv)
 
 
 def residual_group_apply(ctx: Ctx, prefix: str, x: jnp.ndarray, num_block: int,
@@ -962,6 +963,14 @@ class SAVSRConfig:
     # 'float32' reproduces the reference bit-for-bit-ish; 'bfloat16'/'default'
     # unlocks full-rate MXU matmuls for the perf path.
     matmul_precision: str = "float32"
+    # conv precision for the CHW serving engine (eval only):
+    #   "native" — convs run at the carry dtype under matmul_precision
+    #   "split"  — f32 carries, but each conv contracts bf16 hi/lo halves
+    #              ([Xhi; Xlo; Xhi] x [Whi, Whi, Wlo]): f32-grade accuracy
+    #              (error ~2^-16) in 3 MXU passes instead of float32's 6.
+    #              Non-conv ops still follow matmul_precision (keep it
+    #              'float32' so the STAU head/samplers stay strict).
+    conv_precision: str = "native"
     # rematerialize per-module in the training forward (jax.checkpoint):
     # trades ~30% extra FLOPs for activation memory, required for the
     # shipped batch-16 recipe on a 16GB chip. remat_policy:
@@ -1151,6 +1160,7 @@ def _savsr_apply_inner(
 ):
     ctx = Ctx(params, train=train, engines=cfg.engines,
               conv_engine=cfg.conv_engine,
+              split_conv=cfg.conv_precision == "split" and not train,
               stau_statics=None if train else stau_statics)
     b, t, h_input, w_input, c = x.shape
     H, W = get_hw(h_input, w_input, scale)

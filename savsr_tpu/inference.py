@@ -16,6 +16,9 @@ one compiled program per clip shape. Precision tiers:
          ~57 dB vs the f32 reference output on golden weights
   fast   f32 carries, native-bf16 MXU multiplies (~0.17 dB worst-case
          composed delta vs strict on the 42-block sweep; preview tier)
+  split  f32 carries, convs as 3-pass bf16 hi/lo contractions (~2^-16
+         conv error — f32-grade quality at a fraction of strict's cost;
+         STAU head/samplers stay float32-precision)
   strict f32 with float32 matmul precision — reference-parity outputs
 
 Usage:
@@ -52,7 +55,11 @@ def build_serving_model(tier: str, net_kwargs: dict | None = None) -> SAVSR:
     kwargs = flagship_net_kwargs()
     kwargs.update(net_kwargs or {})
     kwargs.setdefault("conv_engine", "chw")
-    kwargs["matmul_precision"] = "float32" if tier == "strict" else "default"
+    kwargs["matmul_precision"] = (
+        "float32" if tier in ("strict", "split") else "default")
+    # split: f32 carries, convs as 3-pass bf16 hi/lo contractions (~2^-16
+    # conv error vs strict — chw_engine._split_x); head/samplers stay f32
+    kwargs["conv_precision"] = "split" if tier == "split" else "native"
     return SAVSR(**kwargs)
 
 
@@ -148,7 +155,8 @@ def main(argv=None) -> int:
                     help="checkpoint (.npz native or .pth torch)")
     ap.add_argument("--param_key", default="params",
                     help="checkpoint key (params | params_ema)")
-    ap.add_argument("--tier", choices=("bf16", "fast", "strict"), default="bf16")
+    ap.add_argument("--tier", choices=("bf16", "fast", "split", "strict"),
+                    default="bf16")
     ap.add_argument("--num_frame", type=int, default=7)
     ap.add_argument("--padding", default="reflection",
                     choices=("replicate", "reflection", "reflection_circle", "circle"))

@@ -117,13 +117,17 @@ def pack_w3(w_hwio) -> jnp.ndarray:
 
 
 
-def _compiler_params(dtype):
+def _compiler_params(dtype, out_dtype=None):
     """Raise the scoped-VMEM cap only for f32 (the wide eval convs need
     ~21MB; v5e physically grants far more — probed to 100MB). bf16 keeps
     the 16MB default: raising it measurably changes Mosaic's buffer
-    scheduling and costs ~1.5 fps on the serving path."""
+    scheduling and costs ~1.5 fps on the serving path. The split tier
+    (bf16 slabs, f32 out/pre/res blocks) needs a modest bump — its widest
+    call (Cout=128 with pre+residual) measures 17.3M scoped."""
     if jnp.dtype(dtype).itemsize > 2:
         return pltpu.CompilerParams(vmem_limit_bytes=96 * 1024 * 1024)
+    if out_dtype is not None and jnp.dtype(out_dtype).itemsize > 2:
+        return pltpu.CompilerParams(vmem_limit_bytes=32 * 1024 * 1024)
     return pltpu.CompilerParams()
 
 # ---------------------------------------------------------------------------
@@ -188,11 +192,21 @@ def _body3(x_ref, w_ref, bias_ref, scale_ref, pre_ref, res_ref, mask_ref,
         # 65 vs 53 us, Mosaic does not overlap the VPU copies with the MXU
         # stream and the extra buffer hurts.)
         kdot = 3 * cin
+        # bf16 operands pin contract precision to DEFAULT: the split tier
+        # runs the model under default_matmul_precision('float32') (for the
+        # XLA-side head/samplers), whose fp32 contract tag Mosaic rejects
+        # on bf16 kernel operands (same fix as the pallas_train engine).
+        # f32 operands keep the ambient precision — the fast-parity tier
+        # (f32 carries, default precision -> 1-pass bf16 multiplies) and
+        # the strict tier (float32 -> multi-pass) both ride it.
+        prec = (None if jnp.dtype(imcol.dtype).itemsize > 2
+                else jax.lax.Precision.DEFAULT)
         a = jax.lax.dot_general(
             w_ref[pl.ds(0, cout), pl.ds(0, kdot)],
             imcol[pl.ds(0, kdot), pl.ds(0, block)],
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=prec,
         )
         for dy in (1, 2):
             a += jax.lax.dot_general(
@@ -200,6 +214,7 @@ def _body3(x_ref, w_ref, bias_ref, scale_ref, pre_ref, res_ref, mask_ref,
                 imcol[pl.ds(0, kdot), pl.ds(dy * wp, block)],
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
+                precision=prec,
             )
         y = a + _vec_col(bias_ref, bi, nb_bias).astype(jnp.float32)
         if use_pre:
@@ -231,6 +246,10 @@ def _body1(x_ref, w_ref, bias_ref, scale_ref, pre_ref, res_ref, mask_ref,
         w, x_ref[0],
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        # dtype-pinned contract precision (see _body3): Mosaic rejects the
+        # split tier's ambient fp32 tag on bf16 operands
+        precision=(None if jnp.dtype(w.dtype).itemsize > 2
+                   else jax.lax.Precision.DEFAULT),
     )
     y = y + _vec_col(bias_ref, bi, nb_bias).astype(jnp.float32)
     if use_pre:
@@ -280,9 +299,10 @@ def _opt_spec(x, cout, block, cblock: int = 0):
     )
 
 
-@functools.partial(jax.jit, static_argnames=("h", "w", "lrelu", "pre_block"))
+@functools.partial(jax.jit, static_argnames=("h", "w", "lrelu", "pre_block",
+                                             "out_dtype"))
 def conv3x3_chw(x, w3, bias, out_scale, pre_add, residual, *, h, w,
-                lrelu=None, mask=None, pre_block=0):
+                lrelu=None, mask=None, pre_block=0, out_dtype=None):
     """Flat-padded CHW 3x3 conv with fused epilogue.
 
     x: [B, Cin, S]; w3: [B, 3, Cout, 3Cin] (per-sample; broadcast for
@@ -330,7 +350,8 @@ def conv3x3_chw(x, w3, bias, out_scale, pre_add, residual, *, h, w,
 
     out = pl.pallas_call(
         wrapped,
-        out_shape=jax.ShapeDtypeStruct((b, cout, s_total), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, cout, s_total),
+                                       out_dtype or x.dtype),
         grid=(b, ns + 2),
         in_specs=[
             # pin to HBM: Mosaic promotes small inputs to VMEM under ANY and
@@ -353,14 +374,14 @@ def conv3x3_chw(x, w3, bias, out_scale, pre_add, residual, *, h, w,
             pltpu.VMEM((2, cin, (th + 2) * wp + 256), x.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
-        compiler_params=_compiler_params(x.dtype),
+        compiler_params=_compiler_params(x.dtype, out_dtype),
         interpret=_interpret(),
     )(x, w3, bias, out_scale, pre, res, mask)
     return out
 
 
 def conv3x3_chw_parts(parts, w3_parts, bias, out_scale, residual, *, h, w,
-                      lrelu=None, pre_add=None, mask=None):
+                      lrelu=None, pre_add=None, mask=None, out_dtype=None):
     """conv3x3(concat(parts, C)) as a chain of Cin-split kernel calls linked
     through the fused ``pre_add`` epilogue term.
 
@@ -382,13 +403,14 @@ def conv3x3_chw_parts(parts, w3_parts, bias, out_scale, residual, *, h, w,
             out_scale if last else ones,
             y, residual if last else None,
             h=h, w=w, lrelu=lrelu if last else None, mask=mask,
+            out_dtype=out_dtype,
         )
     return y
 
 
-@functools.partial(jax.jit, static_argnames=("h", "w", "lrelu"))
+@functools.partial(jax.jit, static_argnames=("h", "w", "lrelu", "out_dtype"))
 def conv1x1_chw(x, w1, bias, out_scale, pre_add, residual, *, h, w,
-                lrelu=None, mask=None):
+                lrelu=None, mask=None, out_dtype=None):
     """Flat-padded CHW 1x1 conv (pure channel matmul) with fused epilogue.
 
     w1: [Cout, Cin] (static) or [B, Cout, Cin] (per-sample — the paired
@@ -423,7 +445,8 @@ def conv1x1_chw(x, w1, bias, out_scale, pre_add, residual, *, h, w,
 
     out = pl.pallas_call(
         wrapped,
-        out_shape=jax.ShapeDtypeStruct((b, cout, s_total), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, cout, s_total),
+                                       out_dtype or x.dtype),
         grid=(b, ns + 2),
         in_specs=[
             pl.BlockSpec((1, cin, block), lambda bi, s: (bi, 0, s),
@@ -438,7 +461,7 @@ def conv1x1_chw(x, w1, bias, out_scale, pre_add, residual, *, h, w,
         ],
         out_specs=pl.BlockSpec((1, cout, block), lambda bi, s: (bi, 0, s),
                                memory_space=pltpu.VMEM),
-        compiler_params=_compiler_params(x.dtype),
+        compiler_params=_compiler_params(x.dtype, out_dtype),
         interpret=_interpret(),
     )(x, w1, bias, out_scale, pre, res, mask)
     return out

@@ -68,7 +68,16 @@ def scales_from_shipped_yml() -> list:
     return scales
 
 
-def build_yml(root: str, scales, precision: str, weights: str) -> str:
+# tier name -> (matmul_precision, conv_precision)
+TIERS = {
+    "strict": ("float32", "native"),
+    "fast": ("default", "native"),
+    "split": ("float32", "split"),  # bf16x3 convs on f32 carries
+}
+
+
+def build_yml(root: str, scales, precision: str, weights: str,
+              conv_precision: str = "native") -> str:
     blocks = []
     for i, (sh, sw) in enumerate(scales, 1):
         blocks.append(f"""
@@ -108,6 +117,7 @@ network_g:
   center_frame_idx: ~
   conv_engine: chw
   matmul_precision: {precision}
+  conv_precision: {conv_precision}
 
 path:
   pretrain_network_g: {weights}
@@ -153,6 +163,8 @@ def main() -> int:
     ap.add_argument("--workdir", default="/tmp/tier_sweep")
     ap.add_argument("--limit", type=int, default=0,
                     help="limit to first N scale blocks (0 = all 42)")
+    ap.add_argument("--tiers", default="strict,fast",
+                    help="comma list from strict|fast|split; first is baseline")
     args = ap.parse_args()
 
     os.makedirs(args.workdir, exist_ok=True)
@@ -173,34 +185,42 @@ def main() -> int:
     print(f"sweeping {len(scales)} scale blocks at {args.size}, "
           f"{args.clips} clip(s) x {args.frames} frames", flush=True)
 
+    tiers = [t.strip() for t in args.tiers.split(",")]
+    assert tiers[0] == "strict", "first tier is the baseline"
     out = {}
-    for precision in ("float32", "default"):
-        r = run_tier(args.workdir, build_yml(args.workdir, scales, precision, weights),
-                     precision)
-        out[precision] = r
-        print(f"{precision}: wall {r['wall_s']:.1f}s", flush=True)
+    for tier in tiers:
+        precision, conv_precision = TIERS[tier]
+        r = run_tier(
+            args.workdir,
+            build_yml(args.workdir, scales, precision, weights,
+                      conv_precision=conv_precision),
+            tier)
+        out[tier] = r
+        print(f"{tier}: wall {r['wall_s']:.1f}s", flush=True)
 
-    strict, fast = out["float32"]["results"], out["default"]["results"]
-    rows, worst = [], (0.0, None)
-    for name in strict:
-        p_s = strict[name]["psnr_y"]
-        p_f = fast[name]["psnr_y"]
-        d = abs(p_f - p_s)
-        rows.append((name, p_s, p_f, d))
-        if d > worst[0]:
-            worst = (d, name)
-    print(f"\n{'block':24s} {'strict':>9s} {'fast':>9s} {'|delta|':>9s}")
-    for name, p_s, p_f, d in rows:
-        print(f"{name:24s} {p_s:9.4f} {p_f:9.4f} {d:9.5f}")
-    print(f"\nworst |delta|: {worst[0]:.5f} dB on {worst[1]}")
-    print(f"wall: strict {out['float32']['wall_s']:.1f}s, "
-          f"fast {out['default']['wall_s']:.1f}s")
-    print(json.dumps({
-        "worst_delta_db": worst[0], "worst_block": worst[1],
-        "blocks": len(rows),
-        "strict_wall_s": round(out["float32"]["wall_s"], 1),
-        "fast_wall_s": round(out["default"]["wall_s"], 1),
-    }))
+    strict = out[tiers[0]]["results"]
+    summary = {"blocks": len(strict),
+               f"{tiers[0]}_wall_s": round(out[tiers[0]]["wall_s"], 1)}
+    for tier in tiers[1:]:
+        other = out[tier]["results"]
+        rows, worst = [], (0.0, None)
+        for name in strict:
+            p_s = strict[name]["psnr_y"]
+            p_f = other[name]["psnr_y"]
+            d = abs(p_f - p_s)
+            rows.append((name, p_s, p_f, d))
+            if d > worst[0]:
+                worst = (d, name)
+        print(f"\n{'block':24s} {'strict':>9s} {tier:>9s} {'|delta|':>9s}")
+        for name, p_s, p_f, d in rows:
+            print(f"{name:24s} {p_s:9.4f} {p_f:9.4f} {d:9.5f}")
+        print(f"\n{tier}: worst |delta| {worst[0]:.5f} dB on {worst[1]}; "
+              f"wall strict {out[tiers[0]]['wall_s']:.1f}s vs "
+              f"{tier} {out[tier]['wall_s']:.1f}s")
+        summary[f"{tier}_worst_delta_db"] = worst[0]
+        summary[f"{tier}_worst_block"] = worst[1]
+        summary[f"{tier}_wall_s"] = round(out[tier]["wall_s"], 1)
+    print(json.dumps(summary))
     return 0
 
 
