@@ -15,6 +15,9 @@ import pytest
 
 from savsr_tpu.archs.savsr_arch import SAVSR
 
+# three full (tiny) serving-graph compiles in interpret mode: heavy tier
+pytestmark = pytest.mark.heavy
+
 
 def _outputs(conv_precision, dtype, x, scale):
     model = SAVSR(
