@@ -51,12 +51,16 @@ class Ctx:
     # comes from this dict instead of static shapes — one compiled program
     # serves every (clip shape, scale) within the bucket
     bucket: Optional[Dict[str, jnp.ndarray]] = None
-    # split-precision convolutions (CHW engine, eval only): f32 carries, but
-    # each conv decomposes operands into bf16 hi/lo halves and contracts the
-    # stacked [Xhi; Xlo; Xhi] against [Whi, Whi, Wlo] — an f32-grade matmul
+    # split-precision convolutions (CHW engine, eval only): features travel
+    # as bf16 hi/lo PAIR channels and each conv contracts the stacked
+    # [Xhi; Xlo; Xhi] against [Whi, Whi, Wlo] — an f32-grade matmul
     # (error ~2^-16 vs bf16's ~2^-8) in three MXU passes instead of the six
-    # of matmul_precision='float32'. See chw_engine._split_x.
+    # of matmul_precision='float32'. See chw_engine (pair_split / _pair_out).
     split_conv: bool = False
+    # pair-chunk width of the split tier's hi/lo interleave — one model-wide
+    # constant (min(64, num_feat)) so channel concats of pair tensors stay
+    # pair tensors with the same layout
+    pair_pc: int = 64
     # precomputed frame-invariant STAU coordinate-head outputs
     # (savsr_arch._stau_head): the head depends only on (params, h, w,
     # scale), never on video content, yet costs ~10 ms/frame at 720p when

@@ -244,9 +244,16 @@ def savsr_apply_bucketed(params, x: jnp.ndarray, ops: Operands,
 def _apply_bucketed_inner(params, x, ops, cfg, stau_statics=None):
     from .chw_engine import trunk_apply_chw, window_l1_apply_chw
 
+    split = cfg.conv_precision == "split"
+    if split:
+        from .chw_engine import model_pc
+
+        pair_pc = model_pc(cfg.num_feat)
+    else:
+        pair_pc = 64
     ctx = Ctx(params, train=False, engines="eval", conv_engine="chw",
               bucket=ops, stau_statics=stau_statics,
-              split_conv=cfg.conv_precision == "split")
+              split_conv=split, pair_pc=pair_pc)
     b, t, hb, wb, _ = x.shape
     dummy_scale = (1.0, 1.0)  # every scale-dependent value rides in ops
 
@@ -258,7 +265,11 @@ def _apply_bucketed_inner(params, x, ops, cfg, stau_statics=None):
     n_iter = cfg.iter_win - cfg.slid_win + 1
     half = cfg.slid_win // 2
     s_total = layout_params(hb, wb)[4]
-    ht0 = jnp.zeros((b, cfg.num_feat, s_total), dtype=x.dtype)
+    # split tier: alignment hidden states are pair-carried (chw_engine)
+    if ctx.split_conv:
+        ht0 = jnp.zeros((b, 2 * cfg.num_feat, s_total), dtype=jnp.bfloat16)
+    else:
+        ht0 = jnp.zeros((b, cfg.num_feat, s_total), dtype=x.dtype)
 
     wins_b = jnp.stack(
         [

@@ -51,28 +51,89 @@ def _max_cin(dtype) -> int:
 # ---------------------------------------------------------------------------
 # split-precision convs (Ctx.split_conv / SAVSRConfig.conv_precision="split")
 #
-# f32 carries, but each conv contracts bf16 hi/lo halves: with
-# x = hi + lo (hi = bf16(x), lo = bf16(x - hi)) and likewise for W,
+# Each conv contracts bf16 hi/lo halves: with x = hi + lo (hi = bf16(x),
+# lo = bf16(x - hi)) and likewise for W,
 #   W @ x  ~=  Whi@Xhi + Whi@Xlo + Wlo@Xhi        (the lo*lo term is
 # ~2^-16 relative and is dropped — the classic 3-pass bf16 f32-emulation).
 # Stacking channels as X' = [Xhi; Xlo; Xhi] and W' = [Whi, Whi, Wlo] turns
-# the three passes into ONE bf16 contraction over 3*Cin channels, so the
-# existing kernels run unchanged (f32 accumulate is already their epilogue
-# convention); outputs come back f32 via out_dtype. Each original
-# <=64-channel chunk becomes exactly the measured-optimal 192-channel bf16
-# slab shape. Accuracy: ~2^-16 relative per conv vs bf16's ~2^-8 and
-# f32's ~2^-24 — measured full-model deviation in tests/PERF.md.
+# the three passes into ONE bf16 contraction over 3*Cin channels (each
+# 64-channel chunk becomes exactly the measured-optimal 192-channel bf16
+# slab), with the kernels' f32 accumulate as the carry precision.
+#
+# PAIR CARRIES: features travel between convs as bf16 [B, 2C, S] hi/lo
+# pairs (``pc``-chunk interleaved, see _pc) — the kernel epilogue splits
+# its f32 result once (_pair_out) and the next conv's im2col duplicates
+# the hi block in VMEM (in_pair), so the XLA-side decompose/concat pass
+# that the first-generation split tier paid per conv (~25 ms/720p window)
+# disappears, and conv HBM traffic drops from 3C to 2C bf16 channels.
+# f32 inputs (the 3/6-channel window entries) still pre-split in XLA via
+# _split_x. Non-conv consumers (RCAB attention, OSAdapt mask head, the
+# STAU boundary) reconstruct hi + lo in f32 — pair_merge.
+# Accuracy: ~2^-16 relative per conv vs bf16's ~2^-8 and f32's ~2^-24 —
+# measured full-model deviation in tests/PERF.md.
 # ---------------------------------------------------------------------------
 
 _SPLIT_CIN = 64  # pre-split chunk width: 3*64 = 192-channel bf16 slabs
 
 
 def _is_split(ctx, x) -> bool:
-    return getattr(ctx, "split_conv", False) and x.dtype == jnp.float32
+    return getattr(ctx, "split_conv", False)
+
+
+def _is_pair(ctx, x) -> bool:
+    """Pair-carried feature: split tier + bf16 (f32 tensors are raw
+    window entries / masks that pre-split in XLA instead)."""
+    return getattr(ctx, "split_conv", False) and x.dtype == jnp.bfloat16
+
+
+def model_pc(num_feat: int) -> int:
+    """The model-wide pair-chunk width (Ctx.pair_pc): pair channels
+    interleave hi/lo in chunks of this width. It must be ONE constant for
+    the whole model so channel CONCATS of pair tensors stay pair tensors
+    with the same layout — every feature width here is a multiple of
+    num_feat, so min(64, num_feat) always divides every tensor."""
+    if num_feat % 64 == 0:
+        return 64
+    assert num_feat <= 64, (
+        f"pair layout needs num_feat % 64 == 0 or num_feat <= 64, got {num_feat}")
+    return num_feat
+
+
+def pair_split(x: jnp.ndarray, pc: int) -> jnp.ndarray:
+    """f32 [B, C, S] -> bf16 [B, 2C, S] pair channels ([hi; lo] per
+    pc-chunk). XLA-side — used at elementwise re-split sites only; conv
+    outputs split in-kernel (_pair_out)."""
+    b, c, s = x.shape
+    n = c // pc
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    y = jnp.concatenate(
+        [hi.reshape(b, n, 1, pc, s), lo.reshape(b, n, 1, pc, s)], axis=2
+    )
+    return y.reshape(b, 2 * c, s)
+
+
+def pair_merge(xp: jnp.ndarray, pc: int) -> jnp.ndarray:
+    """bf16 [B, 2C, S] pair channels -> f32 [B, C, S] (hi + lo)."""
+    b, c2, s = xp.shape
+    c = c2 // 2
+    v = xp.reshape(b, c // pc, 2, pc, s).astype(jnp.float32)
+    return (v[:, :, 0] + v[:, :, 1]).reshape(b, c, s)
+
+
+def _pair_sum_s(xp: jnp.ndarray, pc: int) -> jnp.ndarray:
+    """Spatial sum of a pair tensor -> f32 [B, C] (hi-sum + lo-sum) —
+    equals the sum of the f32 values the convs see."""
+    b, c2, _ = xp.shape
+    c = c2 // 2
+    s = xp.sum(axis=2, dtype=jnp.float32)  # [B, 2C]
+    v = s.reshape(b, c // pc, 2, pc)
+    return (v[:, :, 0] + v[:, :, 1]).reshape(b, c)
 
 
 def _split_x(x: jnp.ndarray) -> jnp.ndarray:
-    """f32 [B, C, S] -> bf16 [B, 3C, S] stacked [hi, lo, hi]."""
+    """f32 [B, C, S] -> bf16 [B, 3C, S] stacked [hi, lo, hi] (XLA pre-split
+    for raw f32 entries; pair carries skip this — the kernel does it)."""
     hi = x.astype(jnp.bfloat16)
     lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
     return jnp.concatenate([hi, lo, hi], axis=1)
@@ -86,26 +147,42 @@ def _split_w(w: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([hi, hi, lo], axis=-2)
 
 
-def _split_chunks(wt: jnp.ndarray, parts: List[jnp.ndarray], b: int):
-    """(weight over concat(parts), parts) -> per-chunk split inputs +
-    split-packed bf16 weights, each chunk <= _SPLIT_CIN original channels
-    (parts wider than the chunk limit are sliced)."""
-    xs, w3s = [], []
-    off = 0
+def _pack_split_w3(wt_c: jnp.ndarray, b: int) -> jnp.ndarray:
+    """Split-stack + pack one 3x3 weight chunk (static [3,3,ci,co] or
+    per-sample [B,3,3,ci,co]) for the bf16 3-pass contraction."""
+    wt_c = _split_w(wt_c)
+    if wt_c.ndim == 5:
+        return _per_batch(pack_w3_batched(wt_c), b).astype(jnp.bfloat16)
+    return pack_w3(wt_c).astype(jnp.bfloat16)
+
+
+def _split_chunks(ctx, wt: jnp.ndarray, parts: List[jnp.ndarray], b: int):
+    """(weight over concat(parts), parts) -> per-chunk kernel operands
+    (xs, w3s, in_pairs). Pair-carried parts slice into contiguous
+    [2*pc]-row chunks consumed in-kernel (in_pair); raw f32 parts
+    pre-split in XLA (_split_x). Weight chunks pack [Whi, Whi, Wlo]."""
+    xs, w3s, in_pairs = [], [], []
+    off = 0  # logical channel offset into wt's Cin axis
     for p in parts:
-        c = p.shape[1]
-        for lo_c in range(0, c, _SPLIT_CIN):
-            hi_c = min(lo_c + _SPLIT_CIN, c)
-            chunk = p[:, lo_c:hi_c] if (lo_c, hi_c) != (0, c) else p
-            wt_c = _split_w(wt[..., off + lo_c : off + hi_c, :])
-            xs.append(_split_x(chunk))
-            if wt.ndim == 5:
-                w3s.append(_per_batch(pack_w3_batched(wt_c), b)
-                           .astype(jnp.bfloat16))
-            else:
-                w3s.append(pack_w3(wt_c).astype(jnp.bfloat16))
-        off += c
-    return xs, w3s
+        if _is_pair(ctx, p):
+            c = p.shape[1] // 2
+            pc = ctx.pair_pc
+            for j in range(c // pc):
+                xs.append(p if c == pc else p[:, 2 * pc * j : 2 * pc * (j + 1)])
+                w3s.append(_pack_split_w3(
+                    wt[..., off + pc * j : off + pc * (j + 1), :], b))
+                in_pairs.append(True)
+            off += c
+        else:
+            c = p.shape[1]
+            for lo_c in range(0, c, _SPLIT_CIN):
+                hi_c = min(lo_c + _SPLIT_CIN, c)
+                chunk = p[:, lo_c:hi_c] if (lo_c, hi_c) != (0, c) else p
+                xs.append(_split_x(chunk))
+                w3s.append(_pack_split_w3(wt[..., off + lo_c : off + hi_c, :], b))
+                in_pairs.append(False)
+            off += c
+    return xs, w3s, in_pairs
 
 
 def _group_parts(parts: List[jnp.ndarray], max_cin: int = None):
@@ -178,17 +255,22 @@ def _per_batch(arr, b: int):
 
 
 def conv3_cat(ctx, name, parts: List[jnp.ndarray], h: int, w: int,
-              lrelu=LRELU, residual=None) -> jnp.ndarray:
-    """conv3x3(concat(parts)) with automatic Cin chunking."""
+              lrelu=LRELU, residual=None, out="pair") -> jnp.ndarray:
+    """conv3x3(concat(parts)) with automatic Cin chunking. In split mode
+    the result is PAIR-carried (``out="pair"``); boundary consumers pass
+    ``out="f32"`` to keep the f32 accumulator instead."""
     b = parts[0].shape[0]
     wt = _wparam(ctx, name)
     if _is_split(ctx, parts[0]):
-        xs, w3s = _split_chunks(wt, parts, b)
+        xs, w3s, in_pairs = _split_chunks(ctx, wt, parts, b)
         cout = wt.shape[-1]
-        return conv3x3_chw_parts(xs, w3s, _bias_col(ctx, name, cout, b),
-                                 _ones(cout), residual, h=h, w=w,
-                                 lrelu=lrelu, mask=_mask(ctx),
-                                 out_dtype=jnp.float32)
+        return conv3x3_chw_parts(
+            xs, w3s, _bias_col(ctx, name, cout, b), _ones(cout), residual,
+            h=h, w=w, lrelu=lrelu, mask=_mask(ctx),
+            out_dtype=jnp.float32, in_pairs=in_pairs,
+            out_pair=out == "pair", res_pair=residual is not None,
+            pc=ctx.pair_pc,
+        )
     xs, spans = _group_parts(parts)
     dtype = parts[0].dtype
     if wt.ndim == 5:
@@ -233,23 +315,27 @@ def _pad_cin(x: jnp.ndarray, mult: int = 8) -> jnp.ndarray:
 
 
 def conv3(ctx, name, x, h: int, w: int, lrelu=LRELU, residual=None,
-          pre_add=None) -> jnp.ndarray:
+          pre_add=None, out="pair") -> jnp.ndarray:
     """Named-parameter 3x3 conv on a flat-padded CHW tensor. ``x`` may
-    carry zero-padded extra channels (matching zero weight rows are added)."""
+    carry zero-padded extra channels (matching zero weight rows are added;
+    raw f32 entries only — pair carries are exact-width by construction)."""
     b = x.shape[0]
     wt = _wparam(ctx, name)
     ci = wt.shape[-2]
-    if x.shape[1] > ci:
+    if x.shape[1] > ci and not _is_pair(ctx, x):
         pad = [(0, 0)] * wt.ndim
         pad[-2] = (0, x.shape[1] - ci)
         wt = jnp.pad(wt, pad)
     if _is_split(ctx, x):
-        xs, w3s = _split_chunks(wt, [x], b)
+        xs, w3s, in_pairs = _split_chunks(ctx, wt, [x], b)
         cout = wt.shape[-1]
-        return conv3x3_chw_parts(xs, w3s, _bias_col(ctx, name, cout, b),
-                                 _ones(cout), residual, h=h, w=w,
-                                 lrelu=lrelu, pre_add=pre_add,
-                                 mask=_mask(ctx), out_dtype=jnp.float32)
+        return conv3x3_chw_parts(
+            xs, w3s, _bias_col(ctx, name, cout, b), _ones(cout), residual,
+            h=h, w=w, lrelu=lrelu, pre_add=pre_add, mask=_mask(ctx),
+            out_dtype=jnp.float32, in_pairs=in_pairs,
+            out_pair=out == "pair", res_pair=residual is not None,
+            pc=ctx.pair_pc,
+        )
     if wt.ndim == 5:
         w3 = _per_batch(pack_w3_batched(wt), b).astype(x.dtype)
         cout = w3.shape[1] // 3
@@ -261,17 +347,71 @@ def conv3(ctx, name, x, h: int, w: int, lrelu=LRELU, residual=None,
                        mask=_mask(ctx))
 
 
+def _pack_w1_pair(w_io: jnp.ndarray, pc: int) -> jnp.ndarray:
+    """1x1 weight core [..., I, O] f32 -> [..., O, 3I] bf16 with per
+    pc-chunk [Whi, Whi, Wlo] K-blocks, matching the kernel's pair-in
+    two-dot contraction (conv1x1_chw in_pair)."""
+    ci = w_io.shape[-2]
+    hi = w_io.astype(jnp.bfloat16).astype(jnp.float32)
+    lo = w_io - hi
+    blocks = []
+    for j in range(ci // pc):
+        sl = slice(pc * j, pc * (j + 1))
+        blocks += [hi[..., sl, :], hi[..., sl, :], lo[..., sl, :]]
+    wk = jnp.concatenate(blocks, axis=-2)  # [..., 3I, O]
+    return jnp.swapaxes(wk, -1, -2).astype(jnp.bfloat16)
+
+
 def conv1(ctx, name, x, h: int, w: int, lrelu=LRELU, residual=None,
-          pre_add=None) -> jnp.ndarray:
-    b = x.shape[0]
+          pre_add=None, out="pair") -> jnp.ndarray:
+    """Named-parameter 1x1 conv. ``x`` may be a list of channel parts
+    standing for concat(parts, C) — required in split mode so the pair
+    chunk width comes from the parts, not the concatenated width."""
+    parts = x if isinstance(x, list) else [x]
+    b = parts[0].shape[0]
     wt = _wparam(ctx, name)
     out_dtype = None
-    if _is_split(ctx, x):
-        # 1x1 convs need no Cin chunking: the [3Ci, block] VMEM block stays
-        # well under budget even at the widest (320 -> 960) merge input
-        x = _split_x(x)
-        wt = _split_w(wt)
+    in_pair = False
+    pc = 64
+    if _is_split(ctx, parts[0]):
         out_dtype = jnp.float32
+        if _is_pair(ctx, parts[0]):
+            # all parts pair-carried with one chunk width: ONE kernel call
+            # over the concatenated pairs, weights packed per pc-chunk
+            pc = ctx.pair_pc
+            assert all((p.shape[1] // 2) % pc == 0 for p in parts), (
+                [p.shape for p in parts], pc)
+            in_pair = True
+            x = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
+            if wt.ndim == 5:
+                w1 = _per_batch(_pack_w1_pair(wt[:, 0, 0], pc), b)
+            else:
+                w1 = _pack_w1_pair(wt[0, 0], pc)
+            cout = w1.shape[-2]
+            return conv1x1_chw(
+                x, w1, _bias_col(ctx, name, cout, b), _ones(cout),
+                pre_add, residual, h=h, w=w, lrelu=lrelu, mask=_mask(ctx),
+                out_dtype=out_dtype, in_pair=True,
+                out_pair=out == "pair", res_pair=residual is not None,
+                pc=pc,
+            )
+        # raw f32 input: XLA pre-split (1x1 needs no Cin chunking — the
+        # [3Ci, block] VMEM block stays under budget even at 320 -> 960)
+        x = _split_x(parts[0] if len(parts) == 1
+                     else jnp.concatenate(parts, axis=1))
+        wt = _split_w(wt)
+        cout = wt.shape[-1]
+        if wt.ndim == 5:
+            w1 = _per_batch(jnp.transpose(wt[:, 0, 0], (0, 2, 1)), b).astype(x.dtype)
+        else:
+            w1 = wt[0, 0].T.astype(x.dtype)
+        return conv1x1_chw(
+            x, w1, _bias_col(ctx, name, cout, b), _ones(cout),
+            pre_add, residual, h=h, w=w, lrelu=lrelu, mask=_mask(ctx),
+            out_dtype=out_dtype, out_pair=out == "pair",
+            res_pair=residual is not None, pc=ctx.pair_pc,
+        )
+    x = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
     if wt.ndim == 5:  # [P,1,1,I,O] -> per-sample [B,O,I]
         w1 = _per_batch(jnp.transpose(wt[:, 0, 0], (0, 2, 1)), b).astype(x.dtype)
         cout = w1.shape[1]
@@ -302,8 +442,10 @@ def osconv_agg(ctx, prefix: str, parts: List[jnp.ndarray], scale, h: int,
     inv_hw = (ctx.bucket["inv_hw"] if ctx.bucket is not None
               else jnp.float32(1.0 / (h * w)))
     gap = jnp.concatenate(
-        [p.sum(axis=2, dtype=jnp.float32) * inv_hw for p in parts], axis=1
-    ).astype(dtype)
+        [(_pair_sum_s(p, ctx.pair_pc) if _is_pair(ctx, p)
+          else p.sum(axis=2, dtype=jnp.float32)) * inv_hw for p in parts],
+        axis=1,
+    ).astype(jnp.float32 if _is_split(ctx, parts[0]) else dtype)
     ca, fa, sa, ka = osconv_attention(ctx, prefix, gap, scale, kernel_size=3)
 
     wbank = ctx[f"{prefix}weight"]  # [K, 3, 3, I, O] f32
@@ -335,10 +477,12 @@ def osconv_chw(ctx, prefix, parts: List[jnp.ndarray], scale, h: int,
     cout = agg.shape[-1]
     if _is_split(ctx, parts[0]):
         # agg's batch dim already matches the (possibly chain-stacked) parts
-        xs, w3s = _split_chunks(agg, parts, parts[0].shape[0])
+        xs, w3s, in_pairs = _split_chunks(ctx, agg, parts, parts[0].shape[0])
         return conv3x3_chw_parts(xs, w3s, jnp.zeros((cout, 1), jnp.float32),
                                  _ones(cout), None, h=h, w=w, lrelu=lrelu,
-                                 mask=_mask(ctx), out_dtype=jnp.float32)
+                                 mask=_mask(ctx), out_dtype=jnp.float32,
+                                 in_pairs=in_pairs, out_pair=True,
+                                 pc=ctx.pair_pc)
     xs, spans = _group_parts(parts)
     w3s = [pack_w3_batched(agg[:, :, :, off : off + c, :]).astype(dtype)
            for off, c in spans]
@@ -362,8 +506,7 @@ def residual_block_chw(ctx, prefix: str, feats: List[jnp.ndarray], scale,
         base = osconv_chw(ctx, _sub_name(prefix, "osconv."), x1, scale, h, w,
                           lrelu=LRELU)
     else:
-        base = conv1(ctx, _sub_name(prefix, "conv1"),
-                     jnp.concatenate(x1, axis=1), h, w)
+        base = conv1(ctx, _sub_name(prefix, "conv1"), x1, h, w)
     out = []
     for i in range(n):
         y = conv3(ctx, _sub_name(prefix, f"conv2.{i}"),
@@ -399,7 +542,8 @@ def window_l2_apply_chw(ctx, prefix: str, feats: List[jnp.ndarray], scale,
         out.append(conv3_cat(ctx, f"{prefix}merge", sw, h, w, lrelu=None))
     if chw_in:
         return out
-    return [chw_to_nhwc(o, h, w) for o in out]
+    return [chw_to_nhwc(pair_merge(o, ctx.pair_pc) if _is_pair(ctx, o)
+                        else o, h, w) for o in out]
 
 
 def rcab_chw(ctx, prefix: str, x, h: int, w: int) -> jnp.ndarray:
@@ -415,6 +559,15 @@ def rcab_chw(ctx, prefix: str, x, h: int, w: int) -> jnp.ndarray:
     # the bucket's slack.
     inv_hw = (ctx.bucket["inv_hw"] if ctx.bucket is not None
               else jnp.float32(1.0 / (h * w)))
+    if _is_pair(ctx, y):
+        pc = ctx.pair_pc
+        a = _pair_sum_s(y, pc) * inv_hw
+        a = jnp.maximum(_fc1x1(ctx, f"{prefix}rcab.3.attention.1", a), 0)
+        a = sigmoid(_fc1x1(ctx, f"{prefix}rcab.3.attention.3", a))
+        # pair re-split site: the channel scale + residual add run on the
+        # reconstructed f32 values (one fused XLA elementwise pass)
+        return pair_split(pair_merge(y, pc) * a[:, :, None]
+                          + pair_merge(x, pc), pc)
     a = (y.sum(axis=2, dtype=jnp.float32) * inv_hw).astype(y.dtype)
     a = jnp.maximum(_fc1x1(ctx, f"{prefix}rcab.3.attention.1", a), 0)
     a = sigmoid(_fc1x1(ctx, f"{prefix}rcab.3.attention.3", a))
@@ -466,14 +619,22 @@ def _osadapt_mask_bucketed(ctx, prefix: str, x_nhwc) -> jnp.ndarray:
 def osadapt_chw(ctx, prefix: str, x, scale, h: int, w: int) -> jnp.ndarray:
     """OSAdapt on CHW: the tiny mask head stays NHWC/XLA (16-channel convs
     with BN + stride-2 pool don't fit the flat-offset convention); the
-    64-channel adapt OSConv runs on the Pallas kernel."""
+    64-channel adapt OSConv runs on the Pallas kernel.
+
+    In split mode the result is returned as f32 (NOT pair-carried): the
+    trunk loop fuses the ``+ gamma * share`` add into the same elementwise
+    pass before re-splitting — one pair round trip per group, not two."""
+    pair = _is_pair(ctx, x)
+    xf = pair_merge(x, ctx.pair_pc) if pair else x
     if ctx.bucket is not None:
-        m = _osadapt_mask_bucketed(ctx, prefix, chw_to_nhwc(x, h, w))
+        m = _osadapt_mask_bucketed(ctx, prefix, chw_to_nhwc(xf, h, w))
     else:
         from .savsr_arch import osadapt_mask
 
-        m = osadapt_mask(ctx, prefix, chw_to_nhwc(x, h, w))  # [B, H, W, 1]
+        m = osadapt_mask(ctx, prefix, chw_to_nhwc(xf, h, w))  # [B, H, W, 1]
     adapted = osconv_chw(ctx, f"{prefix}adapt.", [x], scale, h, w)
+    if pair:
+        return xf + pair_merge(adapted, ctx.pair_pc) * nhwc_to_chw(m)
     return x + adapted * nhwc_to_chw(m)
 
 
@@ -491,7 +652,9 @@ def trunk_apply_chw(ctx, h_feat, scale, n_resgroups: int, n_resblocks: int,
 
     x = conv3(ctx, "h_win_conv_h", h_feat, h, w)
     share = x
-    gamma = ctx["gamma"].astype(x.dtype)
+    pair = _is_pair(ctx, x)
+    share_f = pair_merge(share, ctx.pair_pc) if pair else share
+    gamma = ctx["gamma"].astype(jnp.float32 if pair else x.dtype)
     rg = stack_prefix_params(ctx.params, [f"RG.{i}." for i in range(n_resgroups)])
     ad = stack_prefix_params(ctx.params, [f"adapt.{i}." for i in range(n_resgroups)])
 
@@ -499,11 +662,16 @@ def trunk_apply_chw(ctx, h_feat, scale, n_resgroups: int, n_resblocks: int,
         rg_p, ad_p = leaves
         g = residual_group_chw(_sub_ctx(ctx, rg_p), "", xc, n_resblocks, h, w)
         g = osadapt_chw(_sub_ctx(ctx, ad_p), "", g, scale, h, w)
+        # pair mode: osadapt returned f32; fold the share add into the same
+        # elementwise pass and re-split once per group
+        if pair:
+            return pair_split(g + gamma * share_f, ctx.pair_pc), None
         return g + gamma * share, None
 
     x, _ = jax.lax.scan(gbody, x, (rg, ad))
-    x = conv3(ctx, "conv_last", x, h, w, lrelu=None, residual=share)
-    return chw_to_nhwc(x, h, w), chw_to_nhwc(share, h, w)
+    x = conv3(ctx, "conv_last", x, h, w, lrelu=None, residual=share,
+              out="f32")
+    return chw_to_nhwc(x, h, w), chw_to_nhwc(share_f, h, w)
 
 
 def window_l1_apply_chw(ctx, prefix, x, h_past, scale,
@@ -532,4 +700,6 @@ def window_l1_apply_chw(ctx, prefix, x, h_past, scale,
     merged = conv3_cat(ctx, _sub_name(prefix, "merge"), feats, h, w, lrelu=None)
     if out_chw:
         return merged
+    if _is_pair(ctx, merged):
+        merged = pair_merge(merged, ctx.pair_pc)
     return chw_to_nhwc(merged, h, w)

@@ -907,7 +907,7 @@ def stack_prefix_params(params: Params, prefixes: List[str]) -> Params:
 def _sub_ctx(ctx: Ctx, params: Params) -> Ctx:
     return Ctx(params, train=ctx.train, engines=ctx.engines,
                conv_engine=ctx.conv_engine, bucket=ctx.bucket,
-               split_conv=ctx.split_conv)
+               split_conv=ctx.split_conv, pair_pc=ctx.pair_pc)
 
 
 def residual_group_apply(ctx: Ctx, prefix: str, x: jnp.ndarray, num_block: int,
@@ -1158,9 +1158,16 @@ def _savsr_apply_inner(
     params: Params, x: jnp.ndarray, scale: Scale, cfg: SAVSRConfig,
     train: bool = False, stau_statics=None,
 ):
+    split = cfg.conv_precision == "split" and not train
+    if split:
+        from .chw_engine import model_pc
+
+        pair_pc = model_pc(cfg.num_feat)
+    else:
+        pair_pc = 64
     ctx = Ctx(params, train=train, engines=cfg.engines,
-              conv_engine=cfg.conv_engine,
-              split_conv=cfg.conv_precision == "split" and not train,
+              conv_engine=cfg.conv_engine, split_conv=split,
+              pair_pc=pair_pc,
               stau_statics=None if train else stau_statics)
     b, t, h_input, w_input, c = x.shape
     H, W = get_hw(h_input, w_input, scale)
@@ -1282,11 +1289,17 @@ def _savsr_apply_inner(
 
             s_total = layout_params(hp, wp)[4]
 
+        # split tier: hidden states are PAIR-carried (bf16 hi/lo channels,
+        # chw_engine.pair_split convention) — 2C rows, bf16
+        split = getattr(ctx, "split_conv", False)
+        c_carry = 2 * cfg.num_feat if split else cfg.num_feat
+        dt_carry = jnp.bfloat16 if split else x.dtype
+
         if use_chw and cfg.pair_align:
             # both chains in ONE paired pass: windows stacked chain-major on
             # the batch axis, per-chain weights per sample — halves kernel
             # launches on the sequential alignment scan
-            h2 = jnp.zeros((2 * b, cfg.num_feat, s_total), dtype=x.dtype)
+            h2 = jnp.zeros((2 * b, c_carry, s_total), dtype=dt_carry)
 
             def body_paired(h2, xs):
                 it_b, it_f = xs
@@ -1300,7 +1313,7 @@ def _savsr_apply_inner(
             _, h2_seq = jax.lax.scan(body_paired, h2, (wins_b, wins_f))
             hf_seq, hp_seq = h2_seq[:, :b], h2_seq[:, b:]
         elif use_chw:
-            ht_f2p = jnp.zeros((b, cfg.num_feat, s_total), dtype=x.dtype)
+            ht_f2p = jnp.zeros((b, c_carry, s_total), dtype=dt_carry)
             ht_p2f = jnp.zeros_like(ht_f2p)
 
             def body_chw(carry, xs):

@@ -135,3 +135,104 @@ def test_osconv_fused_train_all_gradients():
     for a, b in zip(g1, g2):
         scale = max(np.abs(np.asarray(b)).max(), 1.0)
         assert np.abs(np.asarray(a) - np.asarray(b)).max() < 2e-4 * scale
+
+
+# ---------------------------------------------------------------------------
+# split-tier PAIR carries (chw_conv in_pair/out_pair/res_pair)
+# ---------------------------------------------------------------------------
+
+
+def _conv3_ref(x_nhwc, w_hwio, bias, lrelu=None, residual=None):
+    y = jax.lax.conv_general_dilated(
+        x_nhwc, w_hwio, (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ) + bias
+    if lrelu is not None:
+        a, b = lrelu
+        y = a * y + b * jnp.abs(y)
+    if residual is not None:
+        y = y + residual
+    return y
+
+
+@pytest.mark.parametrize("c,pc", [(64, 64), (128, 64), (16, 16)])
+def test_conv3x3_chw_pair_carry(c, pc):
+    """PAIR-carried 3x3 conv (in_pair + out_pair + res_pair) tracks the f32
+    conv to split-tier (~2^-14) grade, far beyond bf16, and the pair layout
+    round-trips through the kernel epilogue. Multi-chunk inputs (c > pc)
+    chain per-chunk calls through the pre_add epilogue, exactly as the
+    engine's _split_chunks does."""
+    from savsr_tpu.archs.chw_engine import (
+        _pack_split_w3, pair_merge, pair_split)
+    from savsr_tpu.ops.pallas.chw_conv import (
+        chw_to_nhwc, conv3x3_chw_parts, nhwc_to_chw)
+
+    rng = np.random.default_rng(0)
+    h, w = 10, 12
+    x = jnp.asarray(rng.standard_normal((1, h, w, c)).astype(np.float32))
+    res = jnp.asarray(rng.standard_normal((1, h, w, c)).astype(np.float32))
+    wt = jnp.asarray(
+        rng.standard_normal((3, 3, c, c)).astype(np.float32) * 0.05)
+    bias = jnp.asarray(rng.standard_normal((c,)).astype(np.float32) * 0.1)
+
+    xp = pair_split(nhwc_to_chw(x), pc)
+    rp = pair_split(nhwc_to_chw(res), pc)
+    xs = [xp[:, 2 * pc * j : 2 * pc * (j + 1)] for j in range(c // pc)]
+    w3s = [_pack_split_w3(wt[:, :, pc * j : pc * (j + 1), :], 1)
+           for j in range(c // pc)]
+    with pltpu.force_tpu_interpret_mode():
+        yp = conv3x3_chw_parts(
+            xs, w3s, bias.reshape(c, 1), jnp.ones((c, 1), jnp.float32),
+            rp, h=h, w=w, lrelu=(0.6, 0.4),
+            in_pairs=[True] * len(xs), out_pair=True, res_pair=True, pc=pc,
+        )
+    assert yp.shape[1] == 2 * c and yp.dtype == jnp.bfloat16
+    y = np.asarray(chw_to_nhwc(pair_merge(yp, pc), h, w))
+
+    ref = np.asarray(_conv3_ref(x, wt, bias, (0.6, 0.4), res))
+    scale_mag = np.abs(ref).max()
+    err = np.abs(y - ref).max() / scale_mag
+    # bf16 1-pass error for comparison
+    yb = np.asarray(_conv3_ref(x.astype(jnp.bfloat16),
+                               wt.astype(jnp.bfloat16), bias, (0.6, 0.4),
+                               res.astype(jnp.bfloat16)), np.float32)
+    err_bf16 = np.abs(yb - ref).max() / scale_mag
+    assert err < 3e-4, err
+    assert err * 8 < err_bf16, (err, err_bf16)
+
+
+def test_conv1x1_chw_pair_carry():
+    from savsr_tpu.archs.chw_engine import (
+        _pack_w1_pair, pair_merge, pair_split)
+    from savsr_tpu.ops.pallas.chw_conv import (
+        chw_to_nhwc, conv1x1_chw, nhwc_to_chw)
+
+    rng = np.random.default_rng(1)
+    h, w, ci, co, pc = 9, 11, 96, 32, 32
+    x = jnp.asarray(rng.standard_normal((1, h, w, ci)).astype(np.float32))
+    wt = jnp.asarray(
+        rng.standard_normal((ci, co)).astype(np.float32) * 0.1)
+    bias = jnp.asarray(rng.standard_normal((co,)).astype(np.float32) * 0.1)
+
+    xp = pair_split(nhwc_to_chw(x), pc)
+    w1 = _pack_w1_pair(wt, pc)
+    with pltpu.force_tpu_interpret_mode():
+        yp = conv1x1_chw(
+            xp, w1, bias.reshape(co, 1), jnp.ones((co, 1), jnp.float32),
+            None, None, h=h, w=w, lrelu=None,
+            in_pair=True, out_pair=True, pc=pc,
+        )
+    y = np.asarray(chw_to_nhwc(pair_merge(yp, pc), h, w))
+    ref = np.asarray(x @ wt + bias)
+    err = np.abs(y - ref).max() / np.abs(ref).max()
+    assert err < 3e-4, err
+
+
+def test_pair_split_merge_roundtrip():
+    from savsr_tpu.archs.chw_engine import pair_merge, pair_split
+
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((2, 128, 40)).astype(np.float32))
+    y = np.asarray(pair_merge(pair_split(x, 64), 64))
+    # hi + bf16(x - hi) reconstructs x to ~2^-16 relative
+    assert np.abs(y - np.asarray(x)).max() < 2e-4
