@@ -179,6 +179,32 @@ def main():
                 extra[f"serving_fps_x{sc[0]}x{sc[1]}"] = round(f, 3)
             except Exception as e:
                 print(f"scale {sc} failed: {e}", file=sys.stderr)
+        # split-precision quality tier (f32-grade output from bf16 3-pass
+        # convs with pair carries) at the headline scale — the middle CLI
+        # tier's rate is part of the serving contract
+        if (conv_precision == "native"
+                and time.perf_counter() - t_bench < budget_s):
+            try:
+                model_split = SAVSR(
+                    num_in_ch=3, num_feat=64, num_frame=7, slid_win=3,
+                    fusion_win=5, interval=0, w1_num_block=4, w2_num_block=2,
+                    n_resgroups=4, n_resblocks=8, osconv_impl=impl,
+                    matmul_precision="float32", conv_engine=conv_engine,
+                    conv_precision="split",
+                )
+                params_f32 = jax.tree_util.tree_map(
+                    lambda v: v.astype(jnp.float32)
+                    if v.dtype == jnp.bfloat16 else v, params)
+                # same tag as the headline entry on purpose: the AOT key is
+                # content-addressed, and the split program was first cached
+                # by a SAVSR_BENCH_CONV_PRECISION=split run under this tag
+                f, _ = measure_serving(
+                    model_split, params_f32, jnp.float32, SCALE,
+                    tag=f"bench_{conv_engine}_{impl}_x4",
+                )
+                extra["serving_fps_split_tier_x4"] = round(f, 3)
+            except Exception as e:
+                print(f"split tier failed: {e}", file=sys.stderr)
         if time.perf_counter() - t_bench < budget_s:
             try:
                 from savsr_tpu.metrics.runtime import measure_training_throughput

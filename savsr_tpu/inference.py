@@ -16,9 +16,9 @@ one compiled program per clip shape. Precision tiers:
          ~57 dB vs the f32 reference output on golden weights
   fast   f32 carries, native-bf16 MXU multiplies (~0.17 dB worst-case
          composed delta vs strict on the 42-block sweep; preview tier)
-  split  f32 carries, convs as 3-pass bf16 hi/lo contractions (~2^-16
-         conv error — f32-grade quality at a fraction of strict's cost;
-         STAU head/samplers stay float32-precision)
+  split  convs as 3-pass bf16 hi/lo contractions with bf16 pair carries
+         between convs (~2^-16 conv error — f32-grade quality at ~1.8x
+         strict's speed; STAU head/samplers stay float32-precision)
   strict f32 with float32 matmul precision — reference-parity outputs
 
 Usage:
@@ -57,8 +57,9 @@ def build_serving_model(tier: str, net_kwargs: dict | None = None) -> SAVSR:
     kwargs.setdefault("conv_engine", "chw")
     kwargs["matmul_precision"] = (
         "float32" if tier in ("strict", "split") else "default")
-    # split: f32 carries, convs as 3-pass bf16 hi/lo contractions (~2^-16
-    # conv error vs strict — chw_engine._split_x); head/samplers stay f32
+    # split: convs as 3-pass bf16 hi/lo contractions with pair carries
+    # (~2^-16 conv error vs strict — chw_engine pair_split/_pair_out);
+    # head/samplers stay f32
     kwargs["conv_precision"] = "split" if tier == "split" else "native"
     return SAVSR(**kwargs)
 
