@@ -25,18 +25,25 @@ N = int(os.environ.get("SAVSR_BENCH_WINDOWS", 8))
 def main():
     from savsr_tpu.archs.savsr_arch import SAVSR
 
+    # SAVSR_PROF_TIER: bf16 (default) | split | fast | strict — mirrors the
+    # inference CLI tiers so any serving configuration can be traced
+    tier = os.environ.get("SAVSR_PROF_TIER", "bf16")
     model = SAVSR(
         num_in_ch=3, num_feat=64, num_frame=7, slid_win=3, fusion_win=5,
         interval=0, w1_num_block=4, w2_num_block=2, n_resgroups=4,
-        n_resblocks=8, matmul_precision="default", conv_engine="chw",
+        n_resblocks=8, conv_engine="chw",
+        matmul_precision=("float32" if tier in ("strict", "split")
+                          else "default"),
+        conv_precision="split" if tier == "split" else "native",
     )
+    dtype = jnp.bfloat16 if tier == "bf16" else jnp.float32
     params = model.init(jax.random.PRNGKey(0))
     params = jax.tree_util.tree_map(
-        lambda v: v.astype(jnp.bfloat16) if v.dtype == jnp.float32 else v, params
+        lambda v: v.astype(dtype) if v.dtype == jnp.float32 else v, params
     )
     rng = np.random.default_rng(0)
     windows = jnp.asarray(
-        rng.random((N, 1, 7, H, W, 3), dtype=np.float32), jnp.bfloat16
+        rng.random((N, 1, 7, H, W, 3), dtype=np.float32), dtype
     )
     # frame-invariant STAU coordinate-head outputs, hoisted like bench.py
     # (SAVSR_PROF_STATICS=0 restores the inline head for comparison traces)
@@ -44,7 +51,7 @@ def main():
     if os.environ.get("SAVSR_PROF_STATICS", "1") == "1":
         statics = jax.jit(
             model.stau_statics, static_argnames=("lq_hw", "scale", "dtype")
-        )(params, lq_hw=(H, W), scale=SCALE, dtype=jnp.bfloat16)
+        )(params, lq_hw=(H, W), scale=SCALE, dtype=dtype)
 
     @jax.jit
     def fwd_many(params, windows):
