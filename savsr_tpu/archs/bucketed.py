@@ -216,6 +216,75 @@ def make_bucket_operands(
     return ops
 
 
+def train_bucket_dims(h0: int, w0: int, scale, mult: int = 64) -> Tuple[int, int]:
+    """HR canvas dims for bucketed TRAINING: round the true HR size up to a
+    multiple of ``mult``. The training LQ crop is FIXED (60x60 in the
+    shipped recipe, train_SAVSR_Vimeo90K_asBI.yml) — only the GT side
+    varies with the drawn scale, so bucketing the HR canvas alone collapses
+    the 60-entry scale pool's 60 programs into the few distinct rounded
+    canvas sizes (mult=64: H in 66..240 -> {128, 192, 256})."""
+    H, W = get_hw(h0, w0, normalize_scale(scale))
+    rnd = lambda v: -(-v // mult) * mult
+    return rnd(H), rnd(W)
+
+
+def make_train_bucket_operands(
+    h0: int, w0: int, scale, hr_bucket: Tuple[int, int]
+) -> Operands:
+    """Operand set for ONE-program-per-HR-bucket multi-scale training
+    (savsr_apply(..., bucket=ops) with train=True on the XLA engines).
+
+    Unlike eval bucketing, the LR side is NOT bucketed (the training crop
+    is static), so only the HR-side quantities become operands:
+
+      - ``scale_vec``: the ScaleAttention scale vector (osconv_attention),
+      - ``coord_input`` / ``base_grid``: the STAU coordinate embedding and
+        HR->LR sampling grid, zero-/edge-padded to the canvas,
+      - ``up_hr_row`` / ``up_hr_col``: the final bilinear skip as matrices
+        whose rows beyond the true HR are zero,
+      - ``mask_hr``: the true-region mask (applied before the tail conv so
+        canvas slack cannot bleed into the true rows, and by the trainer as
+        the loss weight),
+      - ``loss_scale``: canvas_numel / true_numel — corrects a masked
+        mean-over-canvas back to the reference's mean-over-true-pixels.
+
+    Reference protocol anchor: lbasicsr/models/asvsr_model.py set_scale +
+    the per-batch scale pool of lbasicsr/data/vimeo90k_dataset.py.
+    """
+    Hb, Wb = hr_bucket
+    scale = normalize_scale(scale)
+    H, W = get_hw(h0, w0, scale)
+    assert H <= Hb and W <= Wb, (H, W, Hb, Wb)
+
+    ops: Operands = {}
+    ops["scale_vec"] = jnp.asarray(
+        [1.0 / scale[0], 1.0 / scale[1]], jnp.float32
+    )
+    ci = np.zeros((1, Hb, Wb, 4), np.float32)
+    ci[:, :H, :W] = _stau_coordinate_input(h0, w0, scale)
+    ops["coord_input"] = jnp.asarray(ci)
+    bg = _stau_base_grid(h0, w0, scale)[0]  # [H, W, 2] normalized
+    bg = np.pad(bg, ((0, Hb - H), (0, Wb - W), (0, 0)), mode="edge")
+    ops["base_grid"] = jnp.asarray(bg)
+    ops["mask_hr"] = jnp.asarray(_rect(Hb, Wb, H, W))
+    ur = np.zeros((Hb, h0), np.float32)
+    ur[:H] = _bilinear_matrix(h0, H, align_corners=False)
+    uc = np.zeros((Wb, w0), np.float32)
+    uc[:W] = _bilinear_matrix(w0, W, align_corners=False)
+    ops["up_hr_row"] = jnp.asarray(ur)
+    ops["up_hr_col"] = jnp.asarray(uc)
+    ops["loss_scale"] = jnp.float32((Hb * Wb) / (H * W))
+    return ops
+
+
+def pad_gt_to_bucket(gt, hr_bucket: Tuple[int, int]):
+    """Zero-pad a [B, H, W, C] GT batch to the HR bucket canvas."""
+    Hb, Wb = hr_bucket
+    return jnp.pad(
+        gt, ((0, 0), (0, Hb - gt.shape[1]), (0, Wb - gt.shape[2]), (0, 0))
+    )
+
+
 def pad_clip_to_bucket(x: np.ndarray, lr_bucket: Tuple[int, int]) -> np.ndarray:
     """[B, T, h0, w0, C] -> bucket canvas: reflect-pad to even
     (= pad_spatial, reference savsr_arch.py:670-690), zero-pad to bucket."""

@@ -357,12 +357,18 @@ def _stau_base_grid(h: int, w: int, scale: Scale) -> np.ndarray:
 
 
 def _stau_grid_sample(
-    x: jnp.ndarray, offset: jnp.ndarray, scale: Scale, train: bool = False
+    x: jnp.ndarray, offset: jnp.ndarray, scale: Scale, train: bool = False,
+    bucket=None,
 ) -> jnp.ndarray:
     """grid_sample with HR->LR grid + predicted offsets (zeros padding,
-    align_corners=True)."""
+    align_corners=True). Under bucketed training the base grid is an
+    operand ([Hb, Wb, 2] canvas, archs/bucketed.py); x stays the TRUE LR
+    shape so the offset normalization from x.shape is exact."""
     b, h, w, _ = x.shape
-    base = jnp.asarray(_stau_base_grid(h, w, scale), dtype=x.dtype)
+    if bucket is not None:
+        base = bucket["base_grid"][None].astype(x.dtype)
+    else:
+        base = jnp.asarray(_stau_base_grid(h, w, scale), dtype=x.dtype)
     off_x = offset[..., 0:1] * (2.0 / (w - 1))
     off_y = offset[..., 1:2] * (2.0 / (h - 1))
     grid = base + jnp.concatenate([off_x, off_y], axis=-1)
@@ -724,7 +730,8 @@ def stau_apply(
     # both are linear mixtures over experts, we contract with each shared
     # expert matrix first (4 MXU matmuls) and mix with the routing weights —
     # mathematically identical, no [H,W,C/8,C] materialization.
-    fea0 = _stau_grid_sample(x, offset, scale, ctx.train_engines)  # [B,H,W,C]
+    fea0 = _stau_grid_sample(x, offset, scale, ctx.train_engines,
+                             bucket=ctx.bucket)  # [B,H,W,C]
     wc = ctx[f"{prefix}weight_compress"].astype(x.dtype)  # [n, C/8, C]
     we = ctx[f"{prefix}weight_expand"].astype(x.dtype)    # [n, C, C/8]
     r = routing[0]  # [H,W,n]
@@ -733,7 +740,8 @@ def stau_apply(
     ze = jnp.einsum("bhwo,nco->bhwnc", fc, we)
     fea = jnp.einsum("bhwnc,hwn->bhwc", ze, r) + fea0
 
-    sta_up = _stau_grid_sample(sta_feat, st_offset, scale, ctx.train_engines)
+    sta_up = _stau_grid_sample(sta_feat, st_offset, scale, ctx.train_engines,
+                               bucket=ctx.bucket)
     out = conv2d(ctx, f"{prefix}fusion", jnp.concatenate([sta_up, fea], axis=-1))
     return out
 
@@ -1042,9 +1050,10 @@ class SAVSR:
         return savsr_init(key, self.cfg)
 
     def apply(self, params: Params, x: jnp.ndarray, scale, train: bool = False,
-              stau_statics=None):
+              stau_statics=None, bucket=None):
         return savsr_apply(params, x, normalize_scale(scale), self.cfg,
-                           train=train, stau_statics=stau_statics)
+                           train=train, stau_statics=stau_statics,
+                           bucket=bucket)
 
     def stau_statics(self, params: Params, lq_hw, scale, dtype=jnp.float32,
                      bucket=None):
@@ -1113,17 +1122,23 @@ def pad_spatial(x: jnp.ndarray, multiple: int = 2) -> jnp.ndarray:
 
 def savsr_apply(
     params: Params, x: jnp.ndarray, scale: Scale, cfg: SAVSRConfig,
-    train: bool = False, stau_statics=None,
+    train: bool = False, stau_statics=None, bucket=None,
 ):
     """SAVSR forward: x [B, T, H, W, C] RGB in [0,1] -> [B, H*sh, W*sw, C].
 
     Returns (sr, stats_updates); stats_updates is empty in eval mode.
     ``stau_statics``: optional precomputed coordinate-head outputs
     (SAVSR.stau_statics) — eval-only fast path, ignored under train.
+    ``bucket``: bucketed multi-scale TRAINING operands
+    (archs/bucketed.py make_train_bucket_operands) — the static ``scale``
+    becomes a dummy and every scale-dependent value (ScaleAttention scale
+    vector, STAU coordinate input / base grid, bilinear-skip matrices,
+    HR mask) rides in as a traced operand, so every scale whose HR size
+    fits one canvas shares ONE compiled program.
     """
     with jax.default_matmul_precision(cfg.matmul_precision):
         return _savsr_apply_inner(params, x, scale, cfg, train,
-                                  stau_statics=stau_statics)
+                                  stau_statics=stau_statics, bucket=bucket)
 
 
 def _ckpt_call(ctx: Ctx, fn, *args, remat, policy: str = "full"):
@@ -1140,7 +1155,7 @@ def _ckpt_call(ctx: Ctx, fn, *args, remat, policy: str = "full"):
 
     def wrapped(params, updates, args):
         inner = Ctx({**params, **updates}, train=True, engines=ctx.engines,
-                    conv_engine=ctx.conv_engine)
+                    conv_engine=ctx.conv_engine, bucket=ctx.bucket)
         out = fn(inner, *args)
         return out, inner.stats_updates
 
@@ -1156,7 +1171,7 @@ def _ckpt_call(ctx: Ctx, fn, *args, remat, policy: str = "full"):
 
 def _savsr_apply_inner(
     params: Params, x: jnp.ndarray, scale: Scale, cfg: SAVSRConfig,
-    train: bool = False, stau_statics=None,
+    train: bool = False, stau_statics=None, bucket=None,
 ):
     split = cfg.conv_precision == "split" and not train
     if split:
@@ -1167,7 +1182,7 @@ def _savsr_apply_inner(
         pair_pc = 64
     ctx = Ctx(params, train=train, engines=cfg.engines,
               conv_engine=cfg.conv_engine, split_conv=split,
-              pair_pc=pair_pc,
+              pair_pc=pair_pc, bucket=bucket,
               stau_statics=None if train else stau_statics)
     b, t, h_input, w_input, c = x.shape
     H, W = get_hw(h_input, w_input, scale)
@@ -1218,7 +1233,8 @@ def _savsr_apply_inner(
             hf, hpf, stats = carry
             it_b, it_f = xs
             inner = Ctx(p, train=True, stats_updates=dict(stats),
-                        engines=ctx.engines, conv_engine=ctx.conv_engine)
+                        engines=ctx.engines, conv_engine=ctx.conv_engine,
+                        bucket=ctx.bucket)
             hf = window_l1_apply(inner, "f2p_win.", it_b, hf, scale,
                                  cfg.w1_num_block, impl)
             hpf = window_l1_apply(inner, "p2f_win.", it_f, hpf, scale,
@@ -1395,7 +1411,7 @@ def _savsr_apply_inner(
             def group_step(leaves, h):
                 rg_p, ad_p = leaves
                 inner = Ctx({**rg_p, **ad_p}, train=True, engines=ctx.engines,
-                            conv_engine=ctx.conv_engine)
+                            conv_engine=ctx.conv_engine, bucket=ctx.bucket)
                 h = residual_group_apply(inner, "", h, cfg.n_resblocks, roll=True)
                 h = osadapt_apply(inner, "", h, scale, impl)
                 stats = {k: inner.stats_updates[k] for k in ad_stat_keys}
@@ -1468,6 +1484,23 @@ def _savsr_apply_inner(
         remat=cfg.remat_train or cfg.remat_stau,
         policy=cfg.remat_policy,
     )
+    if ctx.bucket is not None:
+        # bucketed multi-scale training (archs/bucketed.py
+        # make_train_bucket_operands): sr is an HR bucket canvas whose
+        # slack rows/cols carry garbage from the edge-padded STAU grids.
+        # Zero them BEFORE the 3x3 tail conv so the true region sees the
+        # exact zero-pad-at-the-image-border semantics, then add the
+        # bilinear skip as operand matrices (rows beyond the true HR are
+        # zero, so the canvas slack stays loss-maskable).
+        m = ctx.bucket["mask_hr"].astype(sr.dtype)
+        sr = conv2d(ctx, "tail", sr * m, padding=1)
+        up = jnp.einsum(
+            "Hh,bhwc,Ww->bHWc",
+            ctx.bucket["up_hr_row"].astype(sr.dtype), x_center,
+            ctx.bucket["up_hr_col"].astype(sr.dtype),
+            precision="highest",  # matches interpolate_bilinear exactly
+        )
+        return sr + up, ctx.stats_updates
     sr = conv2d(ctx, "tail", sr, padding=1)
     sr = sr + interpolate_bilinear(x_center, (H, W), align_corners=False)
     return sr, ctx.stats_updates

@@ -53,7 +53,12 @@ class ASVSRRecurrentModel(ASVideoRecurrentModel):
                 "sub_frame" in inspect.signature(self.net_g.apply).parameters
             )
 
-    def _loss_fn(self, trainable, stats, lq, gt, scale):
+    def _loss_fn(self, trainable, stats, lq, gt, scale, bucket_ops=None):
+        if bucket_ops is not None:
+            raise NotImplementedError(
+                "train: bucket_train is only supported by the windowed "
+                "ASVSRModel (the recurrent arch upsamples per frame)"
+            )
         params = {**trainable, **stats}
         sub = getattr(self, "sub_frame", None)
         if sub is not None and getattr(self, "_net_takes_sub_frame", False):

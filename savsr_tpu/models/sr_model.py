@@ -132,7 +132,7 @@ class SRModel(BaseModel):
             for k, v in updates.items()
         }
 
-    def _loss_fn(self, trainable, stats, lq, gt, scale):
+    def _loss_fn(self, trainable, stats, lq, gt, scale, bucket_ops=None):
         params = {**trainable, **stats}
         # bf16 compute with f32 master params: the AMP analogue of the
         # reference's autocast+GradScaler (asvsr_model.py:79,93,118-120) —
@@ -152,12 +152,26 @@ class SRModel(BaseModel):
             h, w = gt_seq.shape[-3], gt_seq.shape[-2]
             size = (round(h / scale[0]), round(w / scale[1]))
             lq = resize_jax(gt_seq, size, mode=self.opt["train"].get("downsample_mode", "torch"))
-        output, stats_updates = self.net_g.apply(params, lq, scale, train=True)
+        if bucket_ops is not None:
+            # bucketed multi-scale training (train: bucket_train: true):
+            # output/gt live on an HR bucket canvas; the pixel loss is
+            # masked to the true region and renormalized to the reference's
+            # mean-over-true-pixels (archs/bucketed.py)
+            output, stats_updates = self.net_g.apply(
+                params, lq, scale, train=True, bucket=bucket_ops
+            )
+        else:
+            output, stats_updates = self.net_g.apply(params, lq, scale, train=True)
         output = output.astype(jnp.float32)
         losses = {}
         total = 0.0
         if self.cri_pix is not None:
-            l_pix = self.cri_pix(output, gt)
+            if bucket_ops is not None:
+                l_pix = self.cri_pix(
+                    output, gt, weight=bucket_ops["mask_hr"]
+                ) * bucket_ops["loss_scale"]
+            else:
+                l_pix = self.cri_pix(output, gt)
             losses["l_pix"] = l_pix
             total = total + l_pix
         if self.cri_perceptual is not None:
@@ -177,7 +191,7 @@ class SRModel(BaseModel):
         return total, (losses, stats_updates, output)
 
     def _train_step_impl(self, trainable, stats, ema, opt_state, lq, gt, lr,
-                         scale, grad_factors=None):
+                         scale, grad_factors=None, bucket_ops=None):
         accum = int(self.opt.get("train", {}).get("accum_steps", 1))
         if accum > 1:
             if lq.shape[0] % accum != 0:
@@ -203,7 +217,8 @@ class SRModel(BaseModel):
                     mlq, mgt = xs
                     (_, (losses, su, _)), g = jax.value_and_grad(
                         self._loss_fn, has_aux=True
-                    )(trainable, stats_c, mlq, mgt, scale)
+                    )(trainable, stats_c, mlq, mgt, scale,
+                      bucket_ops=bucket_ops)
                     stats_c = {**stats_c, **self._cast_like(su, stats_c)}
                     gsum = jax.tree_util.tree_map(lambda a, b: a + b, gsum, g)
                     return (stats_c, gsum), losses
@@ -241,7 +256,8 @@ class SRModel(BaseModel):
                         )
                     (_, (losses_m, su, _)), g = jax.value_and_grad(
                         self._loss_fn, has_aux=True
-                    )(trainable, stats_n, mlq, mgt, scale)
+                    )(trainable, stats_n, mlq, mgt, scale,
+                      bucket_ops=bucket_ops)
                     stats_n = {**stats_n, **self._cast_like(su, stats_n)}
                     gsum = g if gsum is None else jax.tree_util.tree_map(
                         lambda a, b: a + b, gsum, g
@@ -255,7 +271,7 @@ class SRModel(BaseModel):
         else:
             (_, (losses, stats_updates, _)), grads = jax.value_and_grad(
                 self._loss_fn, has_aux=True
-            )(trainable, stats, lq, gt, scale)
+            )(trainable, stats, lq, gt, scale, bucket_ops=bucket_ops)
         if grad_factors is not None:
             # per-parameter gradient scaling (flow freeze / flow_lr_mul,
             # reference video_recurrent_model.py:23-65)
@@ -285,6 +301,25 @@ class SRModel(BaseModel):
         donate_argnames=("trainable", "stats", "ema", "opt_state"),
     )(_train_step_impl)
 
+    def _train_bucket_ops(self, scale):
+        """Cached HR-bucket operands + canvas dims for bucketed multi-scale
+        training (train: bucket_train: true). One compiled training program
+        serves every drawn scale whose rounded HR canvas matches — the
+        shipped 60-entry scale pool collapses from 60 programs to the few
+        distinct (Hb, Wb) canvases (archs/bucketed.py train_bucket_dims)."""
+        from ..archs.bucketed import make_train_bucket_operands, train_bucket_dims
+
+        h0, w0 = int(self.lq.shape[-3]), int(self.lq.shape[-2])
+        mult = int(self.opt["train"].get("bucket_mult", 64))
+        key = (h0, w0, scale, mult)
+        cache = getattr(self, "_bucket_train_cache", None)
+        if cache is None:
+            cache = self._bucket_train_cache = {}
+        if key not in cache:
+            dims = train_bucket_dims(h0, w0, scale, mult)
+            cache[key] = (make_train_bucket_operands(h0, w0, scale, dims), dims)
+        return cache[key]
+
     def optimize_parameters(self, current_iter: int) -> None:
         lr = getattr(self, "_current_lrs", [self.base_lr])[0]
         trainable, stats = split_params(self.params)
@@ -293,6 +328,24 @@ class SRModel(BaseModel):
         grad_factors = getattr(self, "_flow_factors", None)
         if grad_factors is not None:
             grad_factors = {k: jnp.float32(v) for k, v in grad_factors.items()}
+        bucket_ops, gt = None, self.gt
+        if self.opt.get("train", {}).get("bucket_train", False):
+            from ..archs.bucketed import pad_gt_to_bucket
+
+            if self.cri_perceptual is not None:
+                raise NotImplementedError(
+                    "train: bucket_train does not compose with perceptual "
+                    "losses (VGG features are undefined on a masked canvas)"
+                )
+            if self.opt["train"].get("degrade_on_device", False):
+                raise NotImplementedError(
+                    "train: bucket_train requires host-side degradation "
+                    "(degrade_on_device resizes by the static scale)"
+                )
+            bucket_ops, dims = self._train_bucket_ops(scale)
+            gt = pad_gt_to_bucket(self.gt, dims)
+            # the program is keyed by the CANVAS, not the scale
+            scale = (1.0, 1.0)
         if self.opt.get("train", {}).get("aot_cache", False):
             # executable-level disk persistence for the training step
             # (train: aot_cache: true): the pure-XLA step participates in
@@ -301,23 +354,24 @@ class SRModel(BaseModel):
             # pickled PJRT executable loads in seconds. Donation survives
             # serialization (input-output aliasing is part of the HLO).
             def step_fn(trainable, stats, ema, opt_state, lq, gt, lr,
-                        grad_factors):
+                        grad_factors, bucket_ops):
                 return self._train_step_impl(
                     trainable, stats, ema, opt_state, lq, gt, lr, scale,
-                    grad_factors)
+                    grad_factors, bucket_ops)
 
             trainable, stats, ema, self.opt_state, losses = self._aot_call(
-                ("train_aot", scale, ema is None, grad_factors is None),
+                ("train_aot", scale, ema is None, grad_factors is None,
+                 bucket_ops is None),
                 step_fn,
-                (trainable, stats, ema, self.opt_state, self.lq, self.gt,
-                 jnp.float32(lr), grad_factors),
+                (trainable, stats, ema, self.opt_state, self.lq, gt,
+                 jnp.float32(lr), grad_factors, bucket_ops),
                 tag="train_step",
                 donate_argnames=("trainable", "stats", "ema", "opt_state"),
             )
         else:
             trainable, stats, ema, self.opt_state, losses = self._train_step(
-                trainable, stats, ema, self.opt_state, self.lq, self.gt,
-                jnp.float32(lr), scale, grad_factors,
+                trainable, stats, ema, self.opt_state, self.lq, gt,
+                jnp.float32(lr), scale, grad_factors, bucket_ops,
             )
         self.params = {**trainable, **stats}
         if ema is not None:

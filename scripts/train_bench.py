@@ -9,6 +9,9 @@ Knobs (env):
   SAVSR_TB_BATCH=16  SAVSR_TB_SIZE=60  SAVSR_TB_STEPS=8  SAVSR_TB_SCALE=2
   SAVSR_TB_BF16=1    SAVSR_TB_REMAT=full|dots|none|stau  SAVSR_TB_WIDTH=64
   SAVSR_TB_AOT=1 (train: aot_cache — persisted training executable)
+  SAVSR_TB_BUCKET=1  SAVSR_TB_BUCKET_MULT=64 (train: bucket_train — one
+                     program per rounded HR canvas; step overhead = the
+                     canvas slack's HR-side compute)
 """
 
 from __future__ import annotations
@@ -57,6 +60,8 @@ def main():
             "ema_decay": 0.999, "bf16": bf16, "accum_steps": accum,
             "accum_impl": accum_impl,
             "aot_cache": os.environ.get("SAVSR_TB_AOT", "0") == "1",
+            "bucket_train": os.environ.get("SAVSR_TB_BUCKET", "0") == "1",
+            "bucket_mult": int(os.environ.get("SAVSR_TB_BUCKET_MULT", 64)),
             "optim_g": {"type": "Adam", "lr": 2e-4, "weight_decay": 0,
                         "betas": [0.9, 0.999]},
             "scheduler": {"type": "CosineAnnealingRestartLR",
