@@ -342,6 +342,14 @@ class SRModel(BaseModel):
                     "train: bucket_train requires host-side degradation "
                     "(degrade_on_device resizes by the static scale)"
                 )
+            if self.gt.ndim == 5:
+                # recurrent GT [B,T,H,W,C]: raise here, BEFORE pad_gt_to_bucket
+                # fails with an opaque rank-mismatch, so users get the intended
+                # message (the recurrent arch upsamples per frame)
+                raise NotImplementedError(
+                    "train: bucket_train is only supported by the windowed "
+                    "ASVSRModel (the recurrent arch upsamples per frame)"
+                )
             bucket_ops, dims = self._train_bucket_ops(scale)
             gt = pad_gt_to_bucket(self.gt, dims)
             # the program is keyed by the CANVAS, not the scale

@@ -47,6 +47,73 @@ def test_corrupt_entry_recompiles(tmp_path):
     assert i3["source"] == "aot-cache"
 
 
+def test_sidecar_list_and_prune(tmp_path):
+    """Cache-management surface: every save writes a metadata sidecar,
+    list_entries orders by recency, prune_cache deletes LRU past the cap,
+    and the writer auto-prunes via SAVSR_AOT_MAX_GB."""
+    import time
+
+    from savsr_tpu.utils.aot import list_entries, prune_cache
+
+    d = str(tmp_path)
+    x = jnp.ones((16, 16))
+    _, i1 = compile_cached(lambda x: (x * 2).sum(), (x,), tag="a", aot_dir=d)
+    time.sleep(0.05)
+    _, i2 = compile_cached(lambda x: (x * 5).sum(), (x,), tag="b", aot_dir=d)
+
+    # sidecars exist and carry the expected metadata
+    import json
+
+    with open(i1["path"] + ".json") as f:
+        meta = json.load(f)
+    assert meta["tag"] == "a" and meta["key"] == i1["key"]
+    assert meta["jax_version"] == jax.__version__
+    assert meta["args"] == ["float32[16, 16]"]
+
+    entries = list_entries(d)
+    assert [e["meta"]["tag"] for e in entries] == ["b", "a"]  # newest first
+
+    # using entry "a" again refreshes its recency (LRU touch on hit)
+    time.sleep(0.05)
+    _, i1b = compile_cached(lambda x: (x * 2).sum(), (x,), tag="a", aot_dir=d)
+    assert i1b["source"] == "aot-cache"
+    entries = list_entries(d)
+    assert entries[0]["meta"]["tag"] == "a"
+
+    # prune to a cap that fits only the most recent entry -> "b" deleted
+    one = entries[0]["bytes"]
+    deleted = prune_cache(d, max_gb=one * 1.5 / 1e9)
+    assert deleted == [i2["path"]]
+    assert not os.path.exists(i2["path"]) and not os.path.exists(i2["path"] + ".json")
+    assert os.path.exists(i1["path"])
+
+    # the writer enforces the env cap: with a tiny cap, older entries go
+    os.environ["SAVSR_AOT_MAX_GB"] = str(one * 1.5 / 1e9)
+    try:
+        _, i3 = compile_cached(lambda x: (x * 7).sum(), (x,), tag="c", aot_dir=d)
+        assert os.path.exists(i3["path"])  # just-written entry always kept
+        assert not os.path.exists(i1["path"])  # LRU evicted
+    finally:
+        del os.environ["SAVSR_AOT_MAX_GB"]
+
+
+def test_aot_cli(tmp_path, capsys):
+    """python -m savsr_tpu.aot list|prune."""
+    from savsr_tpu.aot import main
+
+    d = str(tmp_path)
+    x = jnp.ones((8, 8))
+    compile_cached(lambda x: (x + 1).sum(), (x,), tag="cli", aot_dir=d)
+    assert main(["list", "--dir", d]) == 0
+    out = capsys.readouterr().out
+    assert "1 entries" in out and "tag=cli" in out
+    assert main(["prune", "--max-gb", "0", "--dir", d]) == 0
+    out = capsys.readouterr().out
+    assert "pruned 1 entries" in out
+    assert main(["list", "--dir", d]) == 0
+    assert "0 entries" in capsys.readouterr().out
+
+
 def test_eval_aot_cache_matches_jit(tmp_path, monkeypatch):
     """SRModel eval with val: aot_cache: true must produce the same output
     as the plain jit path (same program, persisted executable)."""
