@@ -158,6 +158,45 @@ def main():
         "vs_baseline": round(fps / TARGET_FPS, 3),
     }
 
+    # ---- hardware-grounded absolutes: achieved TF/s and %-of-peak (MFU),
+    # independent of the A100 estimate above. FLOPs come from XLA cost
+    # analysis of the XLA-engine forward at the bench shape (the CHW
+    # program hides its math inside Mosaic custom calls, which cost
+    # analysis cannot count); the XLA program hits the persistent compile
+    # cache after the first run.
+    try:
+        from savsr_tpu.metrics.runtime import count_flops
+
+        flops_info = count_flops(
+            SAVSR(num_in_ch=3, num_feat=64, num_frame=7, slid_win=3,
+                  fusion_win=5, interval=0, w1_num_block=4, w2_num_block=2,
+                  n_resgroups=4, n_resblocks=8),
+            jax.tree_util.tree_map(
+                lambda v: v.astype(jnp.float32)
+                if v.dtype == jnp.bfloat16 else v, params),
+            scale=SCALE, input_shape=(1, 7, H, W, 3),
+        )
+        window_tflop = flops_info["gflops"] / 1e3
+        tflops_eff = window_tflop * fps
+        dev = jax.devices()[0]
+        kind = getattr(dev, "device_kind", dev.platform)
+        # bf16 MXU peak per chip; cost analysis counts MACs as 2 FLOPs
+        peak = {"TPU v5 lite": 197.0, "TPU v5e": 197.0, "TPU v4": 275.0,
+                "TPU v5p": 459.0, "TPU v6 lite": 918.0,
+                "TPU v6e": 918.0}.get(kind)
+        hw = {
+            "window_tflop": round(window_tflop, 4),
+            "serving_tflops_effective": round(tflops_eff, 2),
+            "device_kind": kind,
+        }
+        if peak:
+            hw["peak_bf16_tflops"] = peak
+            hw["mfu_pct"] = round(100.0 * tflops_eff / peak, 2)
+        print(f"hw grounding: {hw}", file=sys.stderr)
+    except Exception as e:
+        hw = {}
+        print(f"flops grounding failed: {e}", file=sys.stderr)
+
     # ---- perf matrix: serving at asymmetric/fractional scales + the
     # production training rate, so round-over-round regressions outside the
     # headline metric are machine-diffable. Soft time budget: if the AOT /
@@ -165,7 +204,7 @@ def main():
     # risking the driver's bench window (they repopulate on the next run).
     budget_s = float(os.environ.get("SAVSR_BENCH_BUDGET_S", 2400))
     extra = {"serving_first_result_s": head_info["first_result_s"],
-             "serving_aot_source": head_info["aot_source"]}
+             "serving_aot_source": head_info["aot_source"], **hw}
     if os.environ.get("SAVSR_BENCH_MATRIX", "1") == "1":
         for sc in [(1.5, 3.5), (3.05, 3.05)]:
             if time.perf_counter() - t_bench > budget_s:

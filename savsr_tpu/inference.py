@@ -10,7 +10,10 @@ the load-checkpoint-and-serve intent of the reference's test pipeline
 Serving stack: CHW Pallas conv engine, frame-invariant STAU statics
 computed once per (shape, scale), executable-level AOT disk cache
 (utils/aot.py — a fresh process reaches its first frame in seconds), and
-one compiled program per clip shape. Precision tiers:
+bench-grade dispatch: N frames per device round trip (lax.scan inside one
+compiled program, ``--windows``), device-side uint8/BGR conversion,
+transfer overlapped with compute, PNG encode on writer threads.
+Precision tiers:
 
   bf16   (default) bf16 params/activations — the bench serving config,
          ~57 dB vs the f32 reference output on golden weights
@@ -32,12 +35,13 @@ from __future__ import annotations
 import argparse
 import os
 import time
+from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
 
 from .archs.savsr_arch import SAVSR
 from .data.data_util import generate_frame_indices, paths_from_folder, read_img_seq
-from .utils.img_util import array2img, imwrite
+from .utils.img_util import imwrite
 from .utils.logger import get_root_logger
 
 
@@ -90,9 +94,19 @@ def load_params(model: SAVSR, path: str, tier: str, param_key: str = "params"):
 
 
 def upscale_clip(model, params, frames: np.ndarray, scale, tier: str,
-                 num_frame: int, padding: str, aot: bool, tag: str):
-    """frames [T, H, W, C] float32 RGB in [0,1] -> list of [Hs, Ws, C] SR
-    frames (numpy float32 RGB). One compiled program per (shape, scale)."""
+                 num_frame: int, padding: str, aot: bool, tag: str,
+                 chunk: int = 8):
+    """frames [T, H, W, C] float32 RGB in [0,1] -> yields [Hs, Ws, C] SR
+    frames as uint8 BGR (cv2 layout), in order.
+
+    Serving-grade dispatch: frames are processed ``chunk`` windows at a
+    time inside ONE compiled program (a lax.scan — the same protocol the
+    bench measures; each separate dispatch pays a host round trip), the
+    float->uint8 quantization and RGB->BGR flip run on device (4x less
+    device->host traffic than f32 frames), and the next chunk is
+    dispatched before the previous chunk's pixels are fetched so transfer
+    overlaps compute. One compiled program per (clip shape, scale, chunk).
+    """
     import jax
     import jax.numpy as jnp
 
@@ -101,33 +115,60 @@ def upscale_clip(model, params, frames: np.ndarray, scale, tier: str,
     logger = get_root_logger()
     t_total, h, w = frames.shape[0], frames.shape[1], frames.shape[2]
     dtype = jnp.bfloat16 if tier == "bf16" else jnp.float32
+    chunk = max(1, min(chunk, t_total))
 
     statics = jax.jit(
         model.stau_statics, static_argnames=("lq_hw", "scale", "dtype")
     )(params, lq_hw=(h, w), scale=scale, dtype=dtype)
 
-    def fwd(params, statics, window):
-        sr, _ = model.apply(params, window, scale, train=False,
-                            stau_statics=statics)
-        return sr
+    def fwd_chunk(params, statics, windows):
+        # windows [chunk, 1, T, h, w, C] -> [chunk, 1, Hs, Ws, C] uint8 BGR
+        def body(carry, window):
+            sr, _ = model.apply(params, window, scale, train=False,
+                                stau_statics=statics)
+            # device-side equivalent of utils.img_util.array2img: clamp to
+            # [0,1], *255, round-half-even, uint8; then RGB->BGR for cv2
+            sr8 = jnp.round(
+                jnp.clip(sr.astype(jnp.float32), 0.0, 1.0) * 255.0
+            ).astype(jnp.uint8)
+            return carry, sr8[..., ::-1]
 
-    window0 = jnp.zeros((1, num_frame, h, w, 3), dtype)
+        _, out = jax.lax.scan(body, jnp.int32(0), windows)
+        return out
+
+    windows0 = jnp.zeros((chunk, 1, num_frame, h, w, 3), dtype)
     if aot:
-        fwd_c, info = compile_cached(fwd, (params, statics, window0),
-                                     tag=f"infer_{tag}")
+        fwd_c, info = compile_cached(fwd_chunk, (params, statics, windows0),
+                                     tag=f"infer_{tag}_n{chunk}")
         logger.info(f"serving executable: {info['source']} "
                     f"({info.get('load_s', info.get('compile_s', 0))} s)")
     else:
-        fwd_c = jax.jit(fwd)
+        fwd_c = jax.jit(fwd_chunk)
 
     frames_dev = jnp.asarray(frames, dtype)
-    outs = []
-    for idx in range(t_total):
-        sel = generate_frame_indices(idx, t_total, num_frame, padding=padding)
-        window = frames_dev[jnp.asarray(sel)][None]
-        sr = fwd_c(params, statics, window)
-        outs.append(np.asarray(sr[0], dtype=np.float32))
-    return outs
+    indices = [
+        generate_frame_indices(i, t_total, num_frame, padding=padding)
+        for i in range(t_total)
+    ]
+
+    def dispatch(c0):
+        sel = indices[c0 : c0 + chunk]
+        n_valid = len(sel)
+        sel = sel + [sel[-1]] * (chunk - n_valid)  # pad; extras discarded
+        windows = frames_dev[jnp.asarray(sel)][:, None]
+        return fwd_c(params, statics, windows), n_valid
+
+    pending = None
+    for c0 in range(0, t_total, chunk):
+        nxt = dispatch(c0)  # async: device starts before we fetch `pending`
+        if pending is not None:
+            out, n = pending
+            for j in range(n):
+                yield np.asarray(out[j, 0])
+        pending = nxt
+    out, n = pending
+    for j in range(n):
+        yield np.asarray(out[j, 0])
 
 
 def discover_clips(input_dir: str) -> dict:
@@ -163,6 +204,9 @@ def main(argv=None) -> int:
                     choices=("replicate", "reflection", "reflection_circle", "circle"))
     ap.add_argument("--no_aot", action="store_true",
                     help="skip the executable disk cache")
+    ap.add_argument("--windows", type=int, default=8, metavar="N",
+                    help="frames per device dispatch (scan-of-N inside one "
+                         "compiled program; clamped to the clip length)")
     ap.add_argument("--opt", default=None,
                     help="options YAML whose network_g block overrides the "
                          "flagship architecture (type/strict-load keys ignored)")
@@ -193,22 +237,34 @@ def main(argv=None) -> int:
 
     t0 = time.perf_counter()
     done = 0
-    for clip, paths in clips.items():
-        if not paths:
-            logger.warning(f"{clip}: no frames found, skipping")
-            continue
-        frames = read_img_seq(paths)
-        outs = upscale_clip(
-            model, params, frames, scale, args.tier, args.num_frame,
-            args.padding, aot=not args.no_aot,
-            tag=f"{args.tier}_x{scale[0]}_{scale[1]}",
-        )
-        out_dir = os.path.join(args.output, clip) if len(clips) > 1 else args.output
-        for p, sr in zip(paths, outs):
-            name = os.path.splitext(os.path.basename(p))[0]
-            imwrite(array2img(sr), os.path.join(out_dir, f"{name}.png"))
-        done += len(outs)
-        logger.info(f"{clip}: {len(outs)} frames written to {out_dir}")
+    # PNG encode runs off the dispatch thread: encoding a 720p frame costs
+    # tens of ms on one core — serialized with the device loop it would cap
+    # the CLI well below the device rate
+    with ThreadPoolExecutor(max_workers=min(8, os.cpu_count() or 1),
+                            thread_name_prefix="savsr-write") as writer:
+        futures = []
+        for clip, paths in clips.items():
+            if not paths:
+                logger.warning(f"{clip}: no frames found, skipping")
+                continue
+            frames = read_img_seq(paths)
+            out_dir = (os.path.join(args.output, clip) if len(clips) > 1
+                       else args.output)
+            n_clip = 0
+            for p, sr in zip(paths, upscale_clip(
+                model, params, frames, scale, args.tier, args.num_frame,
+                args.padding, aot=not args.no_aot,
+                tag=f"{args.tier}_x{scale[0]}_{scale[1]}",
+                chunk=args.windows,
+            )):
+                name = os.path.splitext(os.path.basename(p))[0]
+                futures.append(writer.submit(
+                    imwrite, sr, os.path.join(out_dir, f"{name}.png")))
+                n_clip += 1
+            done += n_clip
+            logger.info(f"{clip}: {n_clip} frames -> {out_dir}")
+        for f in futures:
+            f.result()  # surface write errors; also joins all IO
     wall = time.perf_counter() - t0
     logger.info(f"done: {done} frames in {wall:.1f} s ({done / max(wall, 1e-9):.2f} fps "
                 f"incl. IO)")

@@ -85,6 +85,27 @@ def test_inference_cli_multi_clip_asymmetric(clip_dir, tiny_ckpt, tmp_path):
     assert sr.shape == (30, 60, 3)  # round(20*1.5), round(24*2.5)
 
 
+def test_inference_cli_chunked_dispatch_parity(clip_dir, tiny_ckpt, tmp_path):
+    """The pipelined scan-of-N dispatch (with remainder padding and
+    device-side uint8/BGR conversion) must write bit-identical PNGs to
+    per-frame dispatch (--windows 1)."""
+    from savsr_tpu.inference import main
+
+    ckpt, tiny = tiny_ckpt
+    outs = {}
+    for n in (1, 2):  # 5 frames at N=2 exercises the padded last chunk
+        out = tmp_path / f"out_n{n}"
+        rc = main([
+            "-i", str(clip_dir / "clipA"), "-o", str(out), "-s", "2",
+            "-w", ckpt, "--opt", _tiny_yml(tmp_path, tiny),
+            "--tier", "strict", "--no_aot", "--windows", str(n),
+        ])
+        assert rc == 0
+        outs[n] = {p.name: p.read_bytes() for p in out.glob("*.png")}
+    assert len(outs[1]) == 5
+    assert outs[1] == outs[2]
+
+
 def test_inference_cli_rejects_mismatched_checkpoint(clip_dir, tiny_ckpt, tmp_path):
     from savsr_tpu.inference import main
 
