@@ -158,17 +158,34 @@ def upscale_clip(model, params, frames: np.ndarray, scale, tier: str,
         windows = frames_dev[jnp.asarray(sel)][:, None]
         return fwd_c(params, statics, windows), n_valid
 
+    t_dispatch = t_fetch = 0.0
+    fetched_bytes = 0
+
+    def materialize(pending):
+        nonlocal t_fetch, fetched_bytes
+        out, n = pending
+        t0 = time.perf_counter()
+        host = np.asarray(out)  # one device->host transfer per chunk
+        t_fetch += time.perf_counter() - t0
+        fetched_bytes += host.nbytes
+        return [host[j, 0] for j in range(n)]
+
     pending = None
     for c0 in range(0, t_total, chunk):
+        t0 = time.perf_counter()
         nxt = dispatch(c0)  # async: device starts before we fetch `pending`
+        t_dispatch += time.perf_counter() - t0
         if pending is not None:
-            out, n = pending
-            for j in range(n):
-                yield np.asarray(out[j, 0])
+            yield from materialize(pending)
         pending = nxt
-    out, n = pending
-    for j in range(n):
-        yield np.asarray(out[j, 0])
+    last = materialize(pending)
+    # log before the final yields: the consumer (zip) never resumes the
+    # generator past its last item, so code after `yield` would be dead
+    logger.info(
+        f"clip device loop: dispatch {t_dispatch:.2f} s, "
+        f"fetch {t_fetch:.2f} s ({fetched_bytes / max(t_fetch, 1e-9) / 1e6:.0f} MB/s "
+        f"device->host), {fetched_bytes / 1e6:.0f} MB fetched")
+    yield from last
 
 
 def discover_clips(input_dir: str) -> dict:
