@@ -1,0 +1,46 @@
+"""Trained-vs-bicubic gate at CPU-tractable size (RUN_SLOW tier).
+
+The only trainability claim the BASELINE configs make that is testable
+in-env: the shipped pipeline must train a model that super-resolves
+better than bicubic upsampling on held-out clips — loss-goes-down is not
+that. This is the CPU-sized encoding of scripts/quality_proof.py's gate
+(the full-size on-chip numbers live in PERF.md "Quality proof").
+
+Slow (one tiny-net training run + two evals + baseline, ~15-25 min on a
+1-core host), so it sits behind RUN_SLOW=1 like the other full-size
+parity runs.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+pytestmark = [
+    pytest.mark.heavy,
+    pytest.mark.skipif(os.environ.get("RUN_SLOW") != "1",
+                       reason="slow tier (set RUN_SLOW=1)"),
+]
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_trained_beats_bicubic(tmp_path):
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env.setdefault("JAX_PLATFORMS", "cpu")
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "quality_proof.py"),
+         "--root", str(tmp_path), "--profile", "small", "--iters", "400",
+         "--scales", "2,2", "--margin_db", "1.0"],
+        env=env, capture_output=True, text=True, timeout=3600)
+    sys.stdout.write(proc.stdout[-2000:])
+    sys.stderr.write(proc.stderr[-2000:])
+    assert proc.returncode == 0, "quality gate failed (see table above)"
+    verdict = json.loads((tmp_path / "quality_proof.json").read_text())
+    assert verdict["pass"]
+    row = verdict["rows"][0]
+    # trained must also clearly beat the random-init anchor
+    assert row["trained"] > row["random_init"] + 0.5
