@@ -300,7 +300,13 @@ def main():
     meta = os.path.join(root, "data/train/meta_info.txt")
     if not os.path.exists(meta):
         print("generating synthetic corpus ...", flush=True)
-        write_train_corpus(os.path.join(root, "data/train"), p["n_train"])
+        # frames must fit the training crop: lq_size * max drawn scale,
+        # plus margin so random crops see content variety
+        import math
+
+        patch = p["lq_size"] * int(math.ceil(max(max(s) for s in scales)))
+        write_train_corpus(os.path.join(root, "data/train"), p["n_train"],
+                           h=max(160, patch + 16), w=max(192, patch + 48))
         write_eval_clips(os.path.join(root, "data/eval"), 3,
                          h=p["eval_hw"][0], w=p["eval_hw"][1])
 
