@@ -39,10 +39,25 @@ sys.path.insert(0, REPO)
 
 
 def write_yml(root: str, iters: int, bucket: bool, curriculum: bool,
-              batch: int, accum: int, name: str) -> str:
+              batch: int, accum: int, name: str, pool: int = 0) -> str:
     bucket_block = ""
     if bucket:
         bucket_block = "  bucket_train: true\n  bucket_mult: 64\n"
+    pool_block = ""
+    if pool:
+        # evenly-strided subsample of the 60-entry pool (keeps the sym/asym
+        # mix): the exact variant's cold compile wall is n_programs x
+        # per-compile, so a stated reduced pool measures the same
+        # per-program amortization at bounded wall-clock — PERF.md reports
+        # the extrapolation to the full pool explicitly
+        from savsr_tpu.data.vimeo90k_dataset import SCALE_H_LIST, SCALE_W_LIST
+
+        idx = [round(i * (len(SCALE_H_LIST) - 1) / (pool - 1))
+               for i in range(pool)] if pool > 1 else [0]
+        sh = [SCALE_H_LIST[i] for i in idx]
+        sw = [SCALE_W_LIST[i] for i in idx]
+        pool_block = (f"    scale_h_list: {sh}\n"
+                      f"    scale_w_list: {sw}\n")
     yml = f"""
 name: {name}
 model_type: ASVSRModel
@@ -64,7 +79,7 @@ datasets:
     downsample_mode: torch
     init_int_scale: {str(curriculum).lower()}
     single_scale_ft: false
-    gt_size: 256
+{pool_block}    gt_size: 256
     interval_list: [1]
     random_reverse: true
     use_hflip: true
@@ -223,6 +238,10 @@ def main():
     ap.add_argument("--bucket", action="store_true")
     ap.add_argument("--curriculum", action="store_true")
     ap.add_argument("--n_train", type=int, default=60)
+    ap.add_argument("--pool", type=int, default=0, metavar="N",
+                    help="evenly-strided N-entry subsample of the 60-entry "
+                         "scale pool (0 = full pool); bounds the exact "
+                         "variant's cold-compile wall")
     ap.add_argument("--parse_only", default=None,
                     help="skip the run; parse this existing train log")
     args = ap.parse_args()
@@ -230,7 +249,8 @@ def main():
     root = os.path.abspath(args.root)
     os.makedirs(root, exist_ok=True)
     name = "msbench_" + ("bucket" if args.bucket else "exact") + (
-        "_cl" if args.curriculum else "")
+        "_cl" if args.curriculum else "") + (
+        f"_p{args.pool}" if args.pool else "")
 
     if args.parse_only:
         stats = parse_log(args.parse_only, args.batch)
@@ -247,7 +267,7 @@ def main():
                            args.n_train, h=256, w=288)
 
     yml = write_yml(root, args.iters, args.bucket, args.curriculum,
-                    args.batch, args.accum, name)
+                    args.batch, args.accum, name, pool=args.pool)
     env = dict(os.environ)
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     print(f"running {args.iters}-iter segment ({name}) ...", flush=True)
