@@ -212,6 +212,7 @@ path:
 val:
   save_img: false
   suffix: ~
+  aot_cache: true
   metrics:
     psnr_y:
       type: calculate_psnr

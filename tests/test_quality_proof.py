@@ -6,9 +6,11 @@ better than bicubic upsampling on held-out clips — loss-goes-down is not
 that. This is the CPU-sized encoding of scripts/quality_proof.py's gate
 (the full-size on-chip numbers live in PERF.md "Quality proof").
 
-Slow (one tiny-net training run + two evals + baseline, ~15-25 min on a
-1-core host), so it sits behind RUN_SLOW=1 like the other full-size
-parity runs.
+Slow (one tiny-net 2000-iter training run + two evals + baseline,
+~25-35 min on a 1-core host), so it sits behind RUN_SLOW=1 like the
+other full-size parity runs. Calibrated on this host: at 2000 iters the
+tiny net reaches bicubic +1.14 dB on the textured corpus (400 iters is
+not enough: -1.14 dB; the full-size chip numbers live in PERF.md).
 """
 
 import json
@@ -33,9 +35,9 @@ def test_trained_beats_bicubic(tmp_path):
     env.setdefault("JAX_PLATFORMS", "cpu")
     proc = subprocess.run(
         [sys.executable, os.path.join(REPO, "scripts", "quality_proof.py"),
-         "--root", str(tmp_path), "--profile", "small", "--iters", "400",
+         "--root", str(tmp_path), "--profile", "small", "--iters", "2000",
          "--scales", "2,2", "--margin_db", "1.0"],
-        env=env, capture_output=True, text=True, timeout=3600)
+        env=env, capture_output=True, text=True, timeout=5400)
     sys.stdout.write(proc.stdout[-2000:])
     sys.stderr.write(proc.stderr[-2000:])
     assert proc.returncode == 0, "quality gate failed (see table above)"
