@@ -160,6 +160,7 @@ def upscale_clip(model, params, frames: np.ndarray, scale, tier: str,
 
     t_dispatch = t_fetch = 0.0
     fetched_bytes = 0
+    t_loop0 = time.perf_counter()  # post-compile: steady serving rate
 
     def materialize(pending):
         nonlocal t_fetch, fetched_bytes
@@ -181,10 +182,13 @@ def upscale_clip(model, params, frames: np.ndarray, scale, tier: str,
     last = materialize(pending)
     # log before the final yields: the consumer (zip) never resumes the
     # generator past its last item, so code after `yield` would be dead
+    t_loop = time.perf_counter() - t_loop0
     logger.info(
-        f"clip device loop: dispatch {t_dispatch:.2f} s, "
-        f"fetch {t_fetch:.2f} s ({fetched_bytes / max(t_fetch, 1e-9) / 1e6:.0f} MB/s "
-        f"device->host), {fetched_bytes / 1e6:.0f} MB fetched")
+        f"clip device loop: {t_total} frames in {t_loop:.2f} s "
+        f"({t_total / max(t_loop, 1e-9):.2f} fps excl. startup); dispatch "
+        f"{t_dispatch:.2f} s, fetch {t_fetch:.2f} s "
+        f"({fetched_bytes / max(t_fetch, 1e-9) / 1e6:.0f} MB/s device->host), "
+        f"{fetched_bytes / 1e6:.0f} MB fetched")
     yield from last
 
 
@@ -224,6 +228,10 @@ def main(argv=None) -> int:
     ap.add_argument("--windows", type=int, default=8, metavar="N",
                     help="frames per device dispatch (scan-of-N inside one "
                          "compiled program; clamped to the clip length)")
+    ap.add_argument("--ext", default="png", choices=("png", "bmp", "jpg"),
+                    help="output image format (PNG encode costs ~70 ms per "
+                         "720p frame per CPU core — on few-core hosts bmp "
+                         "keeps disk IO off the critical path)")
     ap.add_argument("--opt", default=None,
                     help="options YAML whose network_g block overrides the "
                          "flagship architecture (type/strict-load keys ignored)")
@@ -276,7 +284,7 @@ def main(argv=None) -> int:
             )):
                 name = os.path.splitext(os.path.basename(p))[0]
                 futures.append(writer.submit(
-                    imwrite, sr, os.path.join(out_dir, f"{name}.png")))
+                    imwrite, sr, os.path.join(out_dir, f"{name}.{args.ext}")))
                 n_clip += 1
             done += n_clip
             logger.info(f"{clip}: {n_clip} frames -> {out_dir}")
