@@ -152,8 +152,12 @@ def measure_cli_fps(params):
             frame = np.roll(base, i * 3, axis=1)
             cv2.imwrite(os.path.join(clip, f"{i:08d}.png"), frame)
         wpath = os.path.join(root, "w.npz")
-        np.savez(wpath, **{k: np.asarray(v, dtype=np.float32)
-                           for k, v in params.items()})
+        # preserve dtypes (BN step counters are int); float params are
+        # stored f32 (the CLI re-casts to the tier's dtype on load)
+        np.savez(wpath, **{
+            k: (np.asarray(v, dtype=np.float32)
+                if v.dtype == jnp.bfloat16 else np.asarray(v))
+            for k, v in params.items()})
 
         def run(ext):
             t0 = time.perf_counter()
